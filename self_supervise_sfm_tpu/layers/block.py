@@ -1,0 +1,79 @@
+"""Pre-LN transformer block: Attn+LayerScale residual, MLP+LayerScale residual.
+
+Functional re-design of ``sailrecon/layers/block.py`` (Block). Stochastic
+depth / drop-path are omitted: every configuration the reference instantiates
+uses ``drop_path=0`` (``models/aggregator.py:99-149``, DINOv2 built with
+``drop_path_rate=0.0``), so the only training-time regulariser in play is the
+rank-subsampling of scene tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import params as P
+from .attention import AttentionConfig, attention, init_attention
+
+
+@dataclass(frozen=True)
+class BlockConfig:
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qk_norm: bool = False
+    ln_eps: float = 1e-5  # block layer norms (torch nn.LayerNorm default)
+    init_values: float = 0.01  # layer-scale init
+    attn_impl: str = "auto"
+
+    @property
+    def attn(self) -> AttentionConfig:
+        return AttentionConfig(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qk_norm=self.qk_norm,
+            ln_eps=self.ln_eps,
+            impl=self.attn_impl,
+        )
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.dim * self.mlp_ratio)
+
+
+def init_block(key, cfg: BlockConfig):
+    k_attn, k_fc1, k_fc2 = jax.random.split(key, 3)
+    return {
+        "norm1": P.init_layer_norm(cfg.dim),
+        "attn": init_attention(k_attn, cfg.attn),
+        "ls1": P.init_layer_scale(cfg.dim, cfg.init_values),
+        "norm2": P.init_layer_norm(cfg.dim),
+        "mlp": {
+            "fc1": P.init_linear(k_fc1, cfg.dim, cfg.mlp_hidden),
+            "fc2": P.init_linear(k_fc2, cfg.mlp_hidden, cfg.dim),
+        },
+        "ls2": P.init_layer_scale(cfg.dim, cfg.init_values),
+    }
+
+
+def mlp(p, x):
+    return P.linear(p["fc2"], P.gelu(P.linear(p["fc1"], x)))
+
+
+def block(
+    p,
+    x: jax.Array,
+    cfg: BlockConfig,
+    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
+    mask: Optional[jax.Array] = None,
+    extra_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
+    a = attention(p["attn"], h, cfg.attn, rope_cos_sin, mask, extra_kv)
+    x = x + P.layer_scale(p["ls1"], a)
+    h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
+    x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
+    return x
