@@ -1,0 +1,89 @@
+"""DPT-head utilities: sincos position embeddings, UV grids, and
+align-corners bilinear resize as MXU-friendly matrix contractions.
+
+Re-design of ``sailrecon/heads/utils.py`` and ``custom_interpolate``
+(``sailrecon/heads/dpt_head.py:568-598``). The reference resizes with
+``F.interpolate(align_corners=True)``; here each resize is two small dense
+interpolation-matrix contractions (H2xH1 and W2xW1) — exact same math, but
+lowers to MXU matmuls and is trivially differentiable/fusable, and the
+INT_MAX chunking workaround is unnecessary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_ac(n_out: int, n_in: int) -> np.ndarray:
+    """1D bilinear interpolation matrix with align_corners=True semantics."""
+    A = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1 or n_out == 1:
+        A[:, 0] = 1.0
+        return A
+    if n_out == n_in:
+        np.fill_diagonal(A, 1.0)
+        return A
+    scale = (n_in - 1) / (n_out - 1)
+    for i in range(n_out):
+        src = i * scale
+        lo = int(np.floor(src))
+        hi = min(lo + 1, n_in - 1)
+        f = src - lo
+        A[i, lo] += 1.0 - f
+        A[i, hi] += f
+    return A
+
+
+def resize_bilinear_ac(x: jax.Array, out_hw) -> jax.Array:
+    """(N, H, W, C) -> (N, H2, W2, C), bilinear, align_corners=True."""
+    H2, W2 = out_hw
+    N, H, W, C = x.shape
+    if (H, W) == (H2, W2):
+        return x
+    Ah = jnp.asarray(_interp_matrix_ac(H2, H), x.dtype)
+    Aw = jnp.asarray(_interp_matrix_ac(W2, W), x.dtype)
+    with jax.default_matmul_precision("highest"):
+        y = jnp.einsum("hi,niwc->nhwc", Ah, x)
+        y = jnp.einsum("wj,nhjc->nhwc", Aw, y)
+    return y
+
+
+def make_sincos_pos_embed(embed_dim: int, pos: jax.Array, omega_0: float = 100.0):
+    """1D sincos embedding, (M,) -> (M, embed_dim). ``heads/utils.py:42-73``."""
+    assert embed_dim % 2 == 0
+    omega = jnp.arange(embed_dim // 2, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    omega = omega / (embed_dim / 2.0)
+    omega = 1.0 / omega_0**omega
+    out = pos.reshape(-1)[:, None] * omega[None, :]
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1).astype(jnp.float32)
+
+
+def position_grid_to_embed(pos_grid: jax.Array, embed_dim: int, omega_0: float = 100.0):
+    """(H, W, 2) -> (H, W, embed_dim). ``heads/utils.py:11-39``."""
+    H, W, _ = pos_grid.shape
+    flat = pos_grid.reshape(-1, 2)
+    emb_x = make_sincos_pos_embed(embed_dim // 2, flat[:, 0], omega_0)
+    emb_y = make_sincos_pos_embed(embed_dim // 2, flat[:, 1], omega_0)
+    return jnp.concatenate([emb_x, emb_y], axis=-1).reshape(H, W, embed_dim)
+
+
+def create_uv_grid(width: int, height: int, aspect_ratio=None, dtype=jnp.float32):
+    """(H, W, 2) normalised UV grid. ``heads/utils.py:77-125``."""
+    if aspect_ratio is None:
+        aspect_ratio = float(width) / float(height)
+    diag = (aspect_ratio**2 + 1.0) ** 0.5
+    span_x = aspect_ratio / diag
+    span_y = 1.0 / diag
+    left_x = -span_x * (width - 1) / width
+    right_x = span_x * (width - 1) / width
+    top_y = -span_y * (height - 1) / height
+    bottom_y = span_y * (height - 1) / height
+    xs = np.linspace(left_x, right_x, width, dtype=np.float32)
+    ys = np.linspace(top_y, bottom_y, height, dtype=np.float32)
+    uu, vv = np.meshgrid(xs, ys)  # (H, W)
+    return jnp.asarray(np.stack([uu, vv], axis=-1), dtype)

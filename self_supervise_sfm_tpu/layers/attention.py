@@ -81,6 +81,35 @@ def qkv_heads(
     return q, k, v
 
 
+def kv_heads(
+    p, x: jax.Array, cfg: AttentionConfig,
+    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """K/V-only projection via slices of the fused QKV weight.
+
+    Used for tokens that act purely as attention *context* (the compressed
+    scene representation): the reference wastes a full QKV + attention row on
+    them and discards the output (``aggregator.py:736-737``); we only compute
+    what is consumed.
+    """
+    D = cfg.dim
+    w = p["qkv"]["w"]
+    k = x @ w[:, D : 2 * D].astype(x.dtype)
+    v = x @ w[:, 2 * D :].astype(x.dtype)
+    if "b" in p["qkv"]:
+        b = p["qkv"]["b"]
+        k = k + b[D : 2 * D].astype(x.dtype)
+        v = v + b[2 * D :].astype(x.dtype)
+    k = _split_heads(k, cfg.num_heads)
+    v = _split_heads(v, cfg.num_heads)
+    if cfg.qk_norm:
+        k = P.layer_norm(p["k_norm"], k, cfg.ln_eps)
+    if rope_cos_sin is not None:
+        cos, sin = rope_cos_sin
+        k = R.apply_rope(k, cos, sin)
+    return k, v
+
+
 def attention(
     p,
     x: jax.Array,

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import params as P
-from .attention import AttentionConfig, attention, init_attention
+from .attention import AttentionConfig, attention, init_attention, kv_heads
 
 
 @dataclass(frozen=True)
@@ -77,3 +77,46 @@ def block(
     h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
     x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
     return x
+
+
+def block_with_context(
+    p,
+    x: jax.Array,
+    context: jax.Array,
+    cfg: BlockConfig,
+    rope_q: Optional[Tuple[jax.Array, jax.Array]] = None,
+    rope_ctx: Optional[Tuple[jax.Array, jax.Array]] = None,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Block where ``context`` tokens contribute keys/values only.
+
+    Numerically identical to running the reference block on the concatenation
+    ``[context ‖ x]`` and keeping the ``x`` rows (``aggregator.py:672-741``):
+    context passes through the same pre-norm before the KV projection, but no
+    attention rows / MLP are spent on it since those outputs are discarded.
+    ``mask``'s KV axis is laid out as [context ‖ x].
+    """
+    h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
+    hc = P.layer_norm(p["norm1"], context, cfg.ln_eps)
+    ekv = kv_heads(p["attn"], hc, cfg.attn, rope_ctx)
+    a = attention(p["attn"], h, cfg.attn, rope_q, mask, extra_kv=ekv)
+    x = x + P.layer_scale(p["ls1"], a)
+    h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
+    x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
+    return x
+
+
+def block_context_kv(
+    p,
+    context: jax.Array,
+    cfg: BlockConfig,
+    rope_ctx: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """The (k, v) heads this block would derive from ``context`` tokens.
+
+    This is exactly what gets stored in the relocalisation scene cache
+    (the reference caches the same quantity inside ``Attention.forward``,
+    ``layers/attention.py:94-97`` — post-norm, post-rope K/V).
+    """
+    hc = P.layer_norm(p["norm1"], context, cfg.ln_eps)
+    return kv_heads(p["attn"], hc, cfg.attn, rope_ctx)

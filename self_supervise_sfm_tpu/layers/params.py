@@ -96,8 +96,9 @@ def conv2d(p, x, stride=1, padding="SAME"):
 def init_conv_transpose(key, kh: int, kw: int, c_in: int, c_out: int, bias: bool = True):
     fan_in = kh * kw * c_in
     std = (2.0 / fan_in) ** 0.5
-    # kernel layout HWIO with I=c_in of the *transpose* op
-    p = {"w": std * jax.random.normal(key, (kh, kw, c_in, c_out), jnp.float32)}
+    # layout (kh, kw, c_out, c_in): the HWIO kernel of the forward conv this
+    # op is the transpose of (used with transpose_kernel=True)
+    p = {"w": std * jax.random.normal(key, (kh, kw, c_out, c_in), jnp.float32)}
     if bias:
         p["b"] = jnp.zeros((c_out,), jnp.float32)
     return p

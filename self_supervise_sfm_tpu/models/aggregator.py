@@ -1,0 +1,506 @@
+"""Alternating-attention aggregator: the VGGT-style trunk, TPU-first.
+
+Re-design of ``sailrecon/models/aggregator.py`` (Aggregator). Per layer l of
+24, with anchors-first frame layout ``[anchor_0..anchor_{A-1}, query_0..]``:
+
+1. frame attention  — every frame independently over its P = 1369+5 tokens
+   (``aggregator.py:643-670``), batched as (B*S, P, C).
+2. scene-token subsampling — per anchor frame keep the 5 special tokens plus
+   ``rank`` randomly-permuted patch tokens (``aggregator.py:277-285,580-626``);
+   indices are precomputed per layer from an explicit PRNG key (the torch
+   per-rank Generator becomes key folding, ``aggregator.py:628-641``).
+3. global-reloc attention — queries attend to [compressed anchors ‖ own
+   frame]; the reference runs the full block over the concatenation and
+   discards the anchor rows (``aggregator.py:672-741``), we compute K/V-only
+   for the anchor context (identical numerics, ~A*(R+5)/(A*(R+5)+Q*P) fewer
+   attention rows).
+4. global attention — anchors jointly over all A*P tokens
+   (``aggregator.py:743-769``).
+
+Taps at layers {4, 11, 17, 23} emit [frame ‖ reloc] features of the query
+frames for the DPT heads (``aggregator.py:403-413``); the final layer also
+emits the anchor camera tokens (``aggregator.py:414-423``).
+
+TPU mapping: the 24 layers are depth-stacked and driven by segmented
+``lax.scan`` (one compiled body instead of 24), with ``jax.checkpoint`` for
+rematerialisation instead of ``torch.utils.checkpoint``. Relocalisation uses
+an explicit HBM-resident KV-cache pytree with static shapes — replacing the
+reference's stateful first-pass-returns-zeros CPU-offload trick
+(``layers/attention.py:84-100``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..layers import params as P
+from ..layers import rope as R
+from ..layers.block import (
+    BlockConfig,
+    block,
+    block_context_kv,
+    block_with_context,
+    init_block,
+)
+from ..layers.vit import ViTConfig, init_vit, vit_forward, vit_large
+
+_RESNET_MEAN = (0.485, 0.456, 0.406)
+_RESNET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class AggregatorConfig:
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    qk_norm: bool = True
+    rope_freq: float = 100.0
+    init_values: float = 0.01
+    intermediate_layer_idx: Tuple[int, ...] = (4, 11, 17, 23)
+    vit: ViTConfig = field(default_factory=vit_large)
+    compute_dtype: str = "float32"  # trunk dtype; taps are returned in fp32
+    remat: bool = False
+    attn_impl: str = "auto"
+
+    @property
+    def patch_start_idx(self) -> int:
+        return 1 + self.num_register_tokens
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def block_cfg(self) -> BlockConfig:
+        return BlockConfig(
+            dim=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qk_norm=self.qk_norm,
+            ln_eps=1e-5,
+            init_values=self.init_values,
+            attn_impl=self.attn_impl,
+        )
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def init_aggregator(key, cfg: AggregatorConfig):
+    kv, kf, kg, kr, kt = jax.random.split(key, 5)
+
+    def stack_init(k):
+        keys = jax.random.split(k, cfg.depth)
+        return jax.vmap(lambda kk: init_block(kk, cfg.block_cfg))(keys)
+
+    C = cfg.embed_dim
+    reg = cfg.num_register_tokens
+    tkeys = jax.random.split(kt, 4)
+    return {
+        "vit": init_vit(kv, cfg.vit),
+        "frame_blocks": stack_init(kf),
+        "global_blocks": stack_init(kg),
+        "reloc_blocks": stack_init(kr),
+        # index 0: first frame; index 1: all other frames (aggregator.py:164-173)
+        "camera_token": 1e-6 * jax.random.normal(tkeys[0], (1, 2, 1, C)),
+        "register_token": 1e-6 * jax.random.normal(tkeys[1], (1, 2, reg, C)),
+        "camera_token_reloc": 1e-6 * jax.random.normal(tkeys[2], (1, 1, 1, C)),
+        "register_token_reloc": 1e-6 * jax.random.normal(tkeys[3], (1, 1, reg, C)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _normalize_images(images: jax.Array) -> jax.Array:
+    """(..., H, W, 3) in [0,1] -> resnet-normalised."""
+    mean = jnp.asarray(_RESNET_MEAN, images.dtype)
+    std = jnp.asarray(_RESNET_STD, images.dtype)
+    return (images - mean) / std
+
+
+def _embed_frames(p, cfg: AggregatorConfig, images: jax.Array, is_query: jax.Array):
+    """images (B, S, H, W, 3) -> tokens (B, S, P, C), P = patches + specials.
+
+    ``is_query``: static bool array (S,) — query frames get the reloc
+    camera/register tokens; anchor frame 0 gets token index 0, other anchors
+    index 1 (slice_expand_and_flatten semantics, ``aggregator.py:806-829``).
+    """
+    B, S, H, W, _ = images.shape
+    x = _normalize_images(images).reshape(B * S, H, W, 3)
+    vit_out = vit_forward(p["vit"], x, cfg.vit, compute_dtype=cfg.dtype)
+    patch_tokens = vit_out["x_norm_patchtokens"]  # (B*S, P0, C)
+    P0 = patch_tokens.shape[1]
+    C = cfg.embed_dim
+
+    cam_anchor = jnp.concatenate(
+        [p["camera_token"][0, 0:1], jnp.repeat(p["camera_token"][0, 1:2], max(S - 1, 0), axis=0)],
+        axis=0,
+    )  # (S, 1, C) as if all frames were anchors
+    reg_anchor = jnp.concatenate(
+        [p["register_token"][0, 0:1], jnp.repeat(p["register_token"][0, 1:2], max(S - 1, 0), axis=0)],
+        axis=0,
+    )
+    cam_reloc = jnp.broadcast_to(p["camera_token_reloc"][0, 0], (S, 1, C))
+    reg_reloc = jnp.broadcast_to(
+        p["register_token_reloc"][0, 0], (S, cfg.num_register_tokens, C)
+    )
+    isq = is_query[:, None, None]
+    cam = jnp.where(isq, cam_reloc, cam_anchor)
+    reg = jnp.where(isq, reg_reloc, reg_anchor)
+    special = jnp.concatenate([cam, reg], axis=1).astype(cfg.dtype)  # (S, 5, C)
+    special = jnp.broadcast_to(special[None], (B, S) + special.shape[1:])
+
+    tokens = jnp.concatenate(
+        [special, patch_tokens.reshape(B, S, P0, C)], axis=2
+    )  # (B, S, P, C)
+    return tokens, P0
+
+
+def _rope_tables_frame(cfg: AggregatorConfig, grid_h: int, grid_w: int):
+    """(cos, sin) for one frame's [5 specials + grid] tokens, shape (P, hd)."""
+    pos = R.position_grid(grid_h, grid_w) + 1  # aggregator.py:322 (pos + 1)
+    pos_special = jnp.zeros((cfg.patch_start_idx, 2), pos.dtype)
+    pos = jnp.concatenate([pos_special, pos], axis=0)  # (P, 2)
+    return R.rope_tables(pos, cfg.head_dim, cfg.rope_freq)
+
+
+def _tile_tables(tabs, n: int):
+    cos, sin = tabs
+    return jnp.tile(cos, (n, 1)), jnp.tile(sin, (n, 1))
+
+
+def _subsample_indices(
+    key, cfg: AggregatorConfig, B: int, num_anchor: int, P0: int, rank: int
+) -> jax.Array:
+    """Per-(layer, batch, anchor) keep-indices into the full token axis.
+
+    Returns int32 (depth, B, num_anchor, rank + patch_start_idx): the 5
+    special-token indices followed by ``rank`` patch indices drawn by random
+    permutation (``aggregator.py:593-626``), offset past the specials.
+    """
+    rank = min(rank, P0)
+    n = cfg.depth * B * num_anchor
+    keys = jax.random.split(key, n)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, P0)[:rank])(keys)
+    perm = perm.reshape(cfg.depth, B, num_anchor, rank) + cfg.patch_start_idx
+    specials = jnp.broadcast_to(
+        jnp.arange(cfg.patch_start_idx, dtype=perm.dtype),
+        (cfg.depth, B, num_anchor, cfg.patch_start_idx),
+    )
+    return jnp.concatenate([specials, perm], axis=-1)
+
+
+def _reloc_allow_mask(num_ctx: int, num_query: int, P: int) -> jax.Array:
+    """(1, 1, Q*P, num_ctx + Q*P) allow-mask: full context + own-frame only.
+
+    Token-level expansion of ``build_allow_block`` rows for query frames
+    (``aggregator.py:832-851``): queries see all compressed anchors and
+    themselves, never each other.
+    """
+    q_frame = jnp.arange(num_query * P) // P
+    qq = q_frame[:, None] == q_frame[None, :]
+    ctx = jnp.ones((num_query * P, num_ctx), bool)
+    return jnp.concatenate([ctx, qq], axis=1)[None, None]
+
+
+
+
+def _make_indices(cfg, subsample_key, subsample_indices, B, A, P0, rank):
+    """Either derive keep-indices from a PRNG key or take explicit patch-relative
+    indices (depth, B, A, rank) — the latter exists for golden-parity tests
+    against the reference's torch.Generator draws."""
+    rank = min(rank, P0)
+    if subsample_indices is not None:
+        assert subsample_indices.shape[-1] == rank
+        perm = subsample_indices.astype(jnp.int32) + cfg.patch_start_idx
+        specials = jnp.broadcast_to(
+            jnp.arange(cfg.patch_start_idx, dtype=perm.dtype),
+            perm.shape[:-1] + (cfg.patch_start_idx,),
+        )
+        return jnp.concatenate([specials, perm], axis=-1)
+    assert subsample_key is not None
+    return _subsample_indices(subsample_key, cfg, B, A, P0, rank)
+
+
+# ---------------------------------------------------------------------------
+# joint forward (training / single-pass inference)
+# ---------------------------------------------------------------------------
+
+
+def aggregator_forward(
+    p,
+    cfg: AggregatorConfig,
+    images: jax.Array,
+    num_anchor: int,
+    num_query: int,
+    rank: int,
+    subsample_key: Optional[jax.Array] = None,
+    subsample_indices: Optional[jax.Array] = None,
+) -> Tuple[Dict[int, jax.Array], int, jax.Array]:
+    """Joint anchors+queries forward.
+
+    Args:
+        images: (B, S, H, W, 3) in [0, 1], NHWC, anchors first. S = A + Q.
+        num_anchor / num_query: static frame counts (Q >= 1).
+        rank: static scene-token rank (300 at every reference call site).
+        subsample_key: PRNG key driving the per-layer token subsampling.
+
+    Returns:
+        (taps, patch_start_idx, cam_token_last_layer) where taps maps layer
+        index in ``cfg.intermediate_layer_idx`` (plus -1 = last) to fp32
+        (B, Q, P, 2C) [frame ‖ reloc] features, and cam_token_last_layer is
+        fp32 (B, A, 2C).
+    """
+    B, S, H, W, _ = images.shape
+    A, Q = num_anchor, num_query
+    assert S == A + Q and Q >= 1
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+
+    is_query = jnp.asarray([False] * A + [True] * Q)
+    tokens, P0 = _embed_frames(p, cfg, images, is_query)
+    C = cfg.embed_dim
+    Ptok = P0 + cfg.patch_start_idx
+    rank = min(rank, P0)
+    R5 = rank + cfg.patch_start_idx
+
+    idx = _make_indices(cfg, subsample_key, subsample_indices, B, A, P0, rank)
+
+    t_frame = _rope_tables_frame(cfg, gh, gw)  # (P, hd) x2
+    t_global = _tile_tables(t_frame, A)
+    t_query = _tile_tables(t_frame, Q)
+    mask_reloc = _reloc_allow_mask(A * R5, Q, Ptok)
+    bcfg = cfg.block_cfg
+
+    def layer(tokens, fp, gp, rp, idx_l):
+        # 1. frame attention
+        t = tokens.reshape(B * S, Ptok, C)
+        t = block(fp, t, bcfg, t_frame)
+        t = t.reshape(B, S, Ptok, C)
+        frame_out = t
+        anchors = t[:, :A]
+        queries = t[:, A:]
+        # 2. compressed scene representation
+        down = jnp.take_along_axis(anchors, idx_l[..., None], axis=2)  # (B,A,R5,C)
+        down = down.reshape(B, A * R5, C)
+        down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
+        down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
+        # 3. global-reloc attention (queries vs [scene ‖ self])
+        q = queries.reshape(B, Q * Ptok, C)
+        q = block_with_context(
+            rp, q, down, bcfg, t_query, (down_cos, down_sin), mask_reloc
+        )
+        reloc_out = q.reshape(B, Q, Ptok, C)
+        # 4. global attention (anchors)
+        g = anchors.reshape(B, A * Ptok, C)
+        g = block(gp, g, bcfg, t_global)
+        global_out = g.reshape(B, A, Ptok, C)
+
+        new_tokens = jnp.concatenate([global_out, reloc_out], axis=1)
+        return new_tokens, frame_out, reloc_out, global_out
+
+    if cfg.remat:
+        layer = jax.checkpoint(layer, prevent_cse=False)
+
+    def scan_segment(tokens, lo, hi):
+        if hi <= lo:
+            return tokens
+        seg = jax.tree.map(lambda x: x[lo:hi], (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"]))
+        idx_seg = idx[lo:hi]
+
+        def body(carry, xs):
+            (fp, gp, rp), idx_l = xs
+            new_tokens, *_ = layer(carry, fp, gp, rp, idx_l)
+            return new_tokens, None
+
+        tokens, _ = jax.lax.scan(body, tokens, (seg, idx_seg))
+        return tokens
+
+    taps: Dict[int, jax.Array] = {}
+    cam_token_last_layer = None
+    prev = 0
+    for tap_layer in cfg.intermediate_layer_idx:
+        tokens = scan_segment(tokens, prev, tap_layer)
+        lp = jax.tree.map(
+            lambda x: x[tap_layer],
+            (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"]),
+        )
+        tokens, frame_out, reloc_out, global_out = layer(
+            tokens, lp[0], lp[1], lp[2], idx[tap_layer]
+        )
+        taps[tap_layer] = jnp.concatenate(
+            [frame_out[:, A:], reloc_out], axis=-1
+        ).astype(jnp.float32)
+        prev = tap_layer + 1
+        if tap_layer == cfg.depth - 1:
+            cam_token_last_layer = jnp.concatenate(
+                [frame_out[:, :A, 0], global_out[:, :, 0]], axis=-1
+            ).astype(jnp.float32)
+    tokens = scan_segment(tokens, prev, cfg.depth)
+    assert cam_token_last_layer is not None, "last layer must be an intermediate tap"
+
+    taps[-1] = taps[cfg.intermediate_layer_idx[-1]]
+    return taps, cfg.patch_start_idx, cam_token_last_layer
+
+
+# ---------------------------------------------------------------------------
+# scene-cache build + relocalisation (two-phase inference)
+# ---------------------------------------------------------------------------
+
+
+def aggregator_build_cache(
+    p,
+    cfg: AggregatorConfig,
+    anchor_images: jax.Array,
+    rank: int,
+    subsample_key: Optional[jax.Array] = None,
+    subsample_indices: Optional[jax.Array] = None,
+):
+    """Phase 1: run anchors, record per-layer reloc-block K/V of the
+    compressed scene tokens.
+
+    Equivalent to ``SailRecon.tmp_forward`` (``models/sail_recon.py:176-199``)
+    + the cache-fill branch of ``Attention.forward`` — but pure: returns a
+    static-shape cache pytree kept in HBM (sharded over the context axis under
+    pjit) instead of mutating module state onto the host.
+
+    Returns:
+        (cache, cam_token_last_layer) with cache = dict(k, v) of shape
+        (depth, B, heads, A*(rank+5), head_dim).
+    """
+    B, A, H, W, _ = anchor_images.shape
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    is_query = jnp.asarray([False] * A)
+    tokens, P0 = _embed_frames(p, cfg, anchor_images, is_query)
+    C = cfg.embed_dim
+    Ptok = P0 + cfg.patch_start_idx
+    rank = min(rank, P0)
+    R5 = rank + cfg.patch_start_idx
+
+    idx = _make_indices(cfg, subsample_key, subsample_indices, B, A, P0, rank)
+    t_frame = _rope_tables_frame(cfg, gh, gw)
+    t_global = _tile_tables(t_frame, A)
+    bcfg = cfg.block_cfg
+
+    def layer(tokens, fp, gp, rp, idx_l):
+        t = tokens.reshape(B * A, Ptok, C)
+        t = block(fp, t, bcfg, t_frame)
+        t = t.reshape(B, A, Ptok, C)
+        frame_out = t
+        down = jnp.take_along_axis(t, idx_l[..., None], axis=2).reshape(B, A * R5, C)
+        down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
+        down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
+        kv = block_context_kv(rp, down, bcfg, (down_cos, down_sin))
+        g = block(gp, t.reshape(B, A * Ptok, C), bcfg, t_global)
+        global_out = g.reshape(B, A, Ptok, C)
+        return global_out, frame_out, global_out, kv
+
+    if cfg.remat:
+        layer = jax.checkpoint(layer, prevent_cse=False)
+
+    def body(carry, xs):
+        (fp, gp, rp), idx_l = xs
+        new_tokens, frame_out, global_out, kv = layer(carry, fp, gp, rp, idx_l)
+        return new_tokens, (kv, frame_out[:, :, 0], global_out[:, :, 0])
+
+    stacks = (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"])
+    tokens, (kvs, frame_cam, global_cam) = jax.lax.scan(body, tokens, (stacks, idx))
+
+    cache = {"k": kvs[0], "v": kvs[1]}  # (depth, B, heads, A*R5, hd)
+    cam_token_last_layer = jnp.concatenate(
+        [frame_cam[-1], global_cam[-1]], axis=-1
+    ).astype(jnp.float32)
+    return cache, cam_token_last_layer
+
+
+def aggregator_reloc(
+    p,
+    cfg: AggregatorConfig,
+    cache,
+    images: jax.Array,
+) -> Tuple[Dict[int, jax.Array], int]:
+    """Phase 2: localise query frames against a frozen scene cache.
+
+    Batched over query frames (each query attends the cache + itself only) —
+    replacing the sequential python loop at ``train/demo_imc.py:97-107``.
+    Mirrors ``Aggregator.forward_with_cache`` (``aggregator.py:435-578``).
+    """
+    B, Q, H, W, _ = images.shape
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    is_query = jnp.asarray([True] * Q)
+    tokens, P0 = _embed_frames(p, cfg, images, is_query)
+    C = cfg.embed_dim
+    Ptok = P0 + cfg.patch_start_idx
+    n_ctx = cache["k"].shape[3]
+
+    t_frame = _rope_tables_frame(cfg, gh, gw)
+    t_query = _tile_tables(t_frame, Q)
+    mask = _reloc_allow_mask(n_ctx, Q, Ptok)
+    bcfg = cfg.block_cfg
+
+    from ..layers.attention import attention
+
+    def layer(tokens, fp, rp, kv_l):
+        t = tokens.reshape(B * Q, Ptok, C)
+        t = block(fp, t, bcfg, t_frame)
+        t = t.reshape(B, Q, Ptok, C)
+        frame_out = t
+        q = t.reshape(B, Q * Ptok, C)
+        # reloc block with cached context K/V
+        h = P.layer_norm(rp["norm1"], q, bcfg.ln_eps)
+        a = attention(rp["attn"], h, bcfg.attn, t_query, mask, extra_kv=kv_l)
+        q = q + P.layer_scale(rp["ls1"], a)
+        h = P.layer_norm(rp["norm2"], q, bcfg.ln_eps)
+        from ..layers.block import mlp as _mlp
+
+        q = q + P.layer_scale(rp["ls2"], _mlp(rp["mlp"], h))
+        reloc_out = q.reshape(B, Q, Ptok, C)
+        return reloc_out, frame_out, reloc_out
+
+    if cfg.remat:
+        layer = jax.checkpoint(layer, prevent_cse=False)
+
+    def scan_segment(tokens, lo, hi):
+        if hi <= lo:
+            return tokens
+        seg = jax.tree.map(lambda x: x[lo:hi], (p["frame_blocks"], p["reloc_blocks"]))
+        kv_seg = jax.tree.map(lambda x: x[lo:hi], cache)
+
+        def body(carry, xs):
+            (fp, rp), kv = xs
+            new_tokens, *_ = layer(carry, fp, rp, (kv["k"], kv["v"]))
+            return new_tokens, None
+
+        tokens, _ = jax.lax.scan(body, tokens, (seg, kv_seg))
+        return tokens
+
+    taps: Dict[int, jax.Array] = {}
+    prev = 0
+    for tap_layer in cfg.intermediate_layer_idx:
+        tokens = scan_segment(tokens, prev, tap_layer)
+        lp = jax.tree.map(
+            lambda x: x[tap_layer], (p["frame_blocks"], p["reloc_blocks"])
+        )
+        kv_l = jax.tree.map(lambda x: x[tap_layer], cache)
+        tokens, frame_out, reloc_out = layer(
+            tokens, lp[0], lp[1], (kv_l["k"], kv_l["v"])
+        )
+        taps[tap_layer] = jnp.concatenate([frame_out, reloc_out], axis=-1).astype(
+            jnp.float32
+        )
+        prev = tap_layer + 1
+    tokens = scan_segment(tokens, prev, cfg.depth)
+    taps[-1] = taps[cfg.intermediate_layer_idx[-1]]
+    return taps, cfg.patch_start_idx

@@ -1,0 +1,223 @@
+"""SailRecon facade: aggregator + camera/point/depth heads.
+
+Re-design of ``sailrecon/models/sail_recon.py`` (SailRecon). Three pure entry
+points replace the reference's stateful forward/tmp_forward/reloc triple:
+
+- ``forward``            — joint anchors+queries pass (training and
+  single-pass inference; ``sail_recon.py:70-159``).
+- ``build_scene_cache``  — anchors only, returns the HBM scene KV cache +
+  anchor camera tokens (``sail_recon.py:176-199``).
+- ``reloc``              — batched query localisation against a cache
+  (``sail_recon.py:201-286``; the python per-image loop at
+  ``train/demo_imc.py:97-107`` becomes one batched call).
+
+Heads always run in fp32 regardless of the trunk compute dtype, mirroring the
+disabled-AMP head region (``sail_recon.py:119``). All outputs stay on device
+(the reference's unprojection detoured through CPU numpy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..heads.camera import CameraHeadConfig, camera_head, init_camera_head
+from ..heads.dpt import DPTHeadConfig, dpt_head, init_dpt_head
+from ..ops import geometry as G
+from .aggregator import (
+    AggregatorConfig,
+    aggregator_build_cache,
+    aggregator_forward,
+    aggregator_reloc,
+    init_aggregator,
+)
+from ..layers.vit import ViTConfig
+
+
+@dataclass(frozen=True)
+class SailReconConfig:
+    aggregator: AggregatorConfig = field(default_factory=AggregatorConfig)
+    camera: CameraHeadConfig = field(default_factory=CameraHeadConfig)
+    point: DPTHeadConfig = field(
+        default_factory=lambda: DPTHeadConfig(output_dim=4, activation="inv_log")
+    )
+    depth: DPTHeadConfig = field(
+        default_factory=lambda: DPTHeadConfig(output_dim=2, activation="exp")
+    )
+    enable_camera: bool = True
+    enable_point: bool = True
+    enable_depth: bool = True
+
+    @property
+    def img_size(self) -> int:
+        return self.aggregator.img_size
+
+
+def make_config(
+    img_size: int = 518,
+    patch_size: int = 14,
+    embed_dim: int = 1024,
+    depth: int = 24,
+    num_heads: int = 16,
+    vit_depth: int = 24,
+    vit_embed_dim: Optional[int] = None,
+    vit_num_heads: Optional[int] = None,
+    intermediate_layer_idx=(4, 11, 17, 23),
+    compute_dtype: str = "float32",
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> SailReconConfig:
+    """Build a consistent config tree (flagship defaults = the reference's
+    ViT-L/14 @ 518 with 24 aggregator layers)."""
+    vit_embed_dim = vit_embed_dim or embed_dim
+    vit_num_heads = vit_num_heads or num_heads
+    vit = ViTConfig(
+        img_size=img_size,
+        patch_size=patch_size,
+        embed_dim=vit_embed_dim,
+        depth=vit_depth,
+        num_heads=vit_num_heads,
+        attn_impl=attn_impl,
+    )
+    agg = AggregatorConfig(
+        img_size=img_size,
+        patch_size=patch_size,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=num_heads,
+        intermediate_layer_idx=tuple(intermediate_layer_idx),
+        vit=vit,
+        compute_dtype=compute_dtype,
+        remat=remat,
+        attn_impl=attn_impl,
+    )
+    head_kw = dict(
+        dim_in=2 * embed_dim,
+        patch_size=patch_size,
+        intermediate_layer_idx=tuple(intermediate_layer_idx),
+    )
+    return SailReconConfig(
+        aggregator=agg,
+        camera=CameraHeadConfig(dim_in=2 * embed_dim, attn_impl=attn_impl),
+        point=DPTHeadConfig(output_dim=4, activation="inv_log", **head_kw),
+        depth=DPTHeadConfig(output_dim=2, activation="exp", **head_kw),
+    )
+
+
+def init_sailrecon(key, cfg: SailReconConfig):
+    ka, kc, kp, kd = jax.random.split(key, 4)
+    p: Dict[str, Any] = {"aggregator": init_aggregator(ka, cfg.aggregator)}
+    if cfg.enable_camera:
+        p["camera_head"] = init_camera_head(kc, cfg.camera)
+    if cfg.enable_point:
+        p["point_head"] = init_dpt_head(kp, cfg.point)
+    if cfg.enable_depth:
+        p["depth_head"] = init_dpt_head(kd, cfg.depth)
+    return p
+
+
+def _decode_heads(p, cfg, taps, cam_token_last_layer, images_hw, patch_start_idx):
+    """Shared head decoding for forward/reloc paths. Everything fp32."""
+    H, W = images_hw
+    predictions: Dict[str, jax.Array] = {}
+
+    cam_maps = camera_head(p["camera_head"], taps[-1], cam_token_last_layer, cfg.camera)
+    extrinsic, intrinsic = G.pose_encoding_to_extri_intri(cam_maps[-1], (H, W))
+    predictions["pose_enc_list"] = cam_maps
+    predictions["extrinsic"] = extrinsic
+    predictions["intrinsic"] = intrinsic
+
+    if cfg.enable_point:
+        xyz_map, xyz_conf = dpt_head(
+            p["point_head"], taps, (H, W), patch_start_idx, cfg.point
+        )
+        predictions["point_map"] = xyz_map
+        predictions["xyz_cnf"] = xyz_conf
+    if cfg.enable_depth:
+        dpt_map, dpt_conf = dpt_head(
+            p["depth_head"], taps, (H, W), patch_start_idx, cfg.depth
+        )
+        predictions["depth_map"] = dpt_map
+        predictions["dpt_cnf"] = dpt_conf
+        predictions["point_map_by_unprojection"] = G.unproject_depth_to_world(
+            dpt_map[..., 0], extrinsic, intrinsic
+        )
+    predictions["cam_tokens"] = taps[-1][:, :, 0]
+    return predictions
+
+
+def forward(
+    p,
+    cfg: SailReconConfig,
+    images: jax.Array,
+    num_anchor: int,
+    num_query: int,
+    rank: int = 300,
+    subsample_key: Optional[jax.Array] = None,
+    subsample_indices: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Joint forward. images: (B, A+Q, H, W, 3) NHWC in [0,1], anchors first.
+
+    Returns per-query-frame predictions (leading dims (B, Q)):
+    extrinsic (3,4), intrinsic (3,3), point_map (H,W,3), xyz_cnf (H,W),
+    depth_map (H,W,1), dpt_cnf (H,W), point_map_by_unprojection (H,W,3),
+    cam_tokens (2C), pose_enc_list.
+    """
+    H, W = images.shape[2], images.shape[3]
+    taps, psi, cam_tok = aggregator_forward(
+        p["aggregator"],
+        cfg.aggregator,
+        images,
+        num_anchor,
+        num_query,
+        rank,
+        subsample_key,
+        subsample_indices,
+    )
+    return _decode_heads(p, cfg, taps, cam_tok, (H, W), psi)
+
+
+def build_scene_cache(
+    p,
+    cfg: SailReconConfig,
+    anchor_images: jax.Array,
+    rank: int = 300,
+    subsample_key: Optional[jax.Array] = None,
+    subsample_indices: Optional[jax.Array] = None,
+):
+    """Phase 1 of two-phase inference: returns (cache, cam_token_last_layer)."""
+    return aggregator_build_cache(
+        p["aggregator"], cfg.aggregator, anchor_images, rank, subsample_key,
+        subsample_indices,
+    )
+
+
+def reloc(
+    p,
+    cfg: SailReconConfig,
+    cache,
+    cam_token_last_layer: jax.Array,
+    images: jax.Array,
+    fast_reloc: bool = False,
+) -> Dict[str, jax.Array]:
+    """Phase 2: localise (B, Q, H, W, 3) query frames against the cache.
+
+    ``fast_reloc=True`` decodes camera parameters only
+    (``sail_recon.py:240-244``).
+    """
+    H, W = images.shape[2], images.shape[3]
+    taps, psi = aggregator_reloc(p["aggregator"], cfg.aggregator, cache, images)
+    if fast_reloc:
+        cam_maps = camera_head(
+            p["camera_head"], taps[-1], cam_token_last_layer, cfg.camera
+        )
+        extrinsic, intrinsic = G.pose_encoding_to_extri_intri(cam_maps[-1], (H, W))
+        return {
+            "extrinsic": extrinsic,
+            "intrinsic": intrinsic,
+            "pose_enc_list": cam_maps,
+        }
+    return _decode_heads(p, cfg, taps, cam_token_last_layer, (H, W), psi)

@@ -66,9 +66,11 @@ def convert_conv(sd: StateDict, prefix: str):
 
 
 def convert_conv_transpose(sd: StateDict, prefix: str):
-    # torch ConvTranspose2d weight: (in, out, kh, kw) -> (kh, kw, in, out);
-    # applied with lax.conv_transpose(..., transpose_kernel=True).
-    p = {"w": jnp.asarray(sd[f"{prefix}.weight"].transpose(2, 3, 0, 1))}
+    # torch ConvTranspose2d weight (in, out, kh, kw) is the weight of the
+    # forward conv it is the gradient of; lax.conv_transpose with
+    # transpose_kernel=True expects that forward conv's HWIO layout, i.e.
+    # (kh, kw, out, in).
+    p = {"w": jnp.asarray(sd[f"{prefix}.weight"].transpose(2, 3, 1, 0))}
     if f"{prefix}.bias" in sd:
         p["b"] = jnp.asarray(sd[f"{prefix}.bias"])
     return p
@@ -113,6 +115,105 @@ def convert_blocks_stacked(sd: StateDict, prefix: str, depth: int, qk_norm: bool
     return stack_blocks(
         [convert_block(sd, f"{prefix}.{i}", qk_norm) for i in range(depth)]
     )
+
+
+# -- aggregator / heads / full model ---------------------------------------
+
+
+def convert_aggregator(sd: StateDict, prefix: str, depth: int, vit_depth: int):
+    pfx = f"{prefix}." if prefix else ""
+    return {
+        "vit": convert_vit(sd, f"{pfx}patch_embed", vit_depth),
+        "frame_blocks": convert_blocks_stacked(
+            sd, f"{pfx}frame_blocks", depth, qk_norm=True
+        ),
+        "global_blocks": convert_blocks_stacked(
+            sd, f"{pfx}global_blocks", depth, qk_norm=True
+        ),
+        "reloc_blocks": convert_blocks_stacked(
+            sd, f"{pfx}global_reloc_blocks", depth, qk_norm=True
+        ),
+        "camera_token": jnp.asarray(sd[f"{pfx}camera_token"]),
+        "register_token": jnp.asarray(sd[f"{pfx}register_token"]),
+        "camera_token_reloc": jnp.asarray(sd[f"{pfx}camera_token_reloc"]),
+        "register_token_reloc": jnp.asarray(sd[f"{pfx}register_token_reloc"]),
+    }
+
+
+def convert_camera_head(sd: StateDict, prefix: str, trunk_depth: int = 4):
+    pfx = f"{prefix}." if prefix else ""
+    return {
+        "trunk": convert_blocks_stacked(sd, f"{pfx}trunk", trunk_depth, qk_norm=False),
+        "token_norm": convert_ln(sd, f"{pfx}token_norm"),
+        "trunk_norm": convert_ln(sd, f"{pfx}trunk_norm"),
+        "empty_pose_tokens": jnp.asarray(sd[f"{pfx}empty_pose_tokens"]),
+        "embed_pose": convert_linear(sd, f"{pfx}embed_pose"),
+        # torch: nn.Sequential(SiLU, Linear) -> index 1 is the Linear
+        "poseLN_modulation": convert_linear(sd, f"{pfx}poseLN_modulation.1"),
+        "pose_branch": {
+            "fc1": convert_linear(sd, f"{pfx}pose_branch.fc1"),
+            "fc2": convert_linear(sd, f"{pfx}pose_branch.fc2"),
+        },
+    }
+
+
+def _convert_rcu(sd: StateDict, prefix: str):
+    return {
+        "conv1": convert_conv(sd, f"{prefix}.conv1"),
+        "conv2": convert_conv(sd, f"{prefix}.conv2"),
+    }
+
+
+def _convert_fusion(sd: StateDict, prefix: str, has_residual: bool):
+    p = {
+        "resConfUnit2": _convert_rcu(sd, f"{prefix}.resConfUnit2"),
+        "out_conv": convert_conv(sd, f"{prefix}.out_conv"),
+    }
+    if has_residual:
+        p["resConfUnit1"] = _convert_rcu(sd, f"{prefix}.resConfUnit1")
+    return p
+
+
+def convert_dpt_head(sd: StateDict, prefix: str, feature_only: bool = False):
+    pfx = f"{prefix}." if prefix else ""
+    p = {
+        "norm": convert_ln(sd, f"{pfx}norm"),
+        "projects": [convert_conv(sd, f"{pfx}projects.{i}") for i in range(4)],
+        "resize0": convert_conv_transpose(sd, f"{pfx}resize_layers.0"),
+        "resize1": convert_conv_transpose(sd, f"{pfx}resize_layers.1"),
+        "resize3": convert_conv(sd, f"{pfx}resize_layers.3"),
+        "scratch": {
+            "layer1_rn": convert_conv(sd, f"{pfx}scratch.layer1_rn"),
+            "layer2_rn": convert_conv(sd, f"{pfx}scratch.layer2_rn"),
+            "layer3_rn": convert_conv(sd, f"{pfx}scratch.layer3_rn"),
+            "layer4_rn": convert_conv(sd, f"{pfx}scratch.layer4_rn"),
+            "refinenet1": _convert_fusion(sd, f"{pfx}scratch.refinenet1", True),
+            "refinenet2": _convert_fusion(sd, f"{pfx}scratch.refinenet2", True),
+            "refinenet3": _convert_fusion(sd, f"{pfx}scratch.refinenet3", True),
+            "refinenet4": _convert_fusion(sd, f"{pfx}scratch.refinenet4", False),
+            "output_conv1": convert_conv(sd, f"{pfx}scratch.output_conv1"),
+        },
+    }
+    if not feature_only:
+        p["scratch"]["output_conv2"] = {
+            "conv1": convert_conv(sd, f"{pfx}scratch.output_conv2.0"),
+            "conv2": convert_conv(sd, f"{pfx}scratch.output_conv2.2"),
+        }
+    return p
+
+
+def convert_sailrecon(sd: StateDict, depth: int = 24, vit_depth: int = 24):
+    """Full reference SailRecon state dict -> framework param pytree."""
+    p = {
+        "aggregator": convert_aggregator(sd, "aggregator", depth, vit_depth),
+    }
+    if any(k.startswith("camera_head.") for k in sd):
+        p["camera_head"] = convert_camera_head(sd, "camera_head")
+    if any(k.startswith("point_head.") for k in sd):
+        p["point_head"] = convert_dpt_head(sd, "point_head")
+    if any(k.startswith("depth_head.") for k in sd):
+        p["depth_head"] = convert_dpt_head(sd, "depth_head")
+    return p
 
 
 # -- DINOv2 ViT -------------------------------------------------------------
