@@ -48,6 +48,7 @@ from ..layers.block import (
     init_block,
 )
 from ..layers.vit import ViTConfig, init_vit, vit_forward, vit_large
+from ..parallel.sharding import CONTEXT_AXIS, DATA_AXIS, constrain
 
 _RESNET_MEAN = (0.485, 0.456, 0.406)
 _RESNET_STD = (0.229, 0.224, 0.225)
@@ -285,8 +286,9 @@ def aggregator_forward(
     bcfg = cfg.block_cfg
 
     def layer(tokens, fp, gp, rp, idx_l):
-        # 1. frame attention
+        # 1. frame attention — frames sharded over (data x context)
         t = tokens.reshape(B * S, Ptok, C)
+        t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = block(fp, t, bcfg, t_frame)
         t = t.reshape(B, S, Ptok, C)
         frame_out = t
@@ -297,14 +299,18 @@ def aggregator_forward(
         down = down.reshape(B, A * R5, C)
         down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
         down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
-        # 3. global-reloc attention (queries vs [scene ‖ self])
+        # 3. global-reloc attention — query tokens context-sharded; the small
+        # compressed scene rep stays replicated (all-gathered over ICI)
         q = queries.reshape(B, Q * Ptok, C)
+        q = constrain(q, DATA_AXIS, CONTEXT_AXIS, None)
         q = block_with_context(
             rp, q, down, bcfg, t_query, (down_cos, down_sin), mask_reloc
         )
         reloc_out = q.reshape(B, Q, Ptok, C)
-        # 4. global attention (anchors)
+        # 4. global attention — the long (A*P) token axis is context-sharded
+        # (sequence parallelism; XLA inserts the KV all-gather over ICI)
         g = anchors.reshape(B, A * Ptok, C)
+        g = constrain(g, DATA_AXIS, CONTEXT_AXIS, None)
         g = block(gp, g, bcfg, t_global)
         global_out = g.reshape(B, A, Ptok, C)
 
@@ -396,6 +402,7 @@ def aggregator_build_cache(
 
     def layer(tokens, fp, gp, rp, idx_l):
         t = tokens.reshape(B * A, Ptok, C)
+        t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = block(fp, t, bcfg, t_frame)
         t = t.reshape(B, A, Ptok, C)
         frame_out = t
@@ -403,7 +410,8 @@ def aggregator_build_cache(
         down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
         down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
         kv = block_context_kv(rp, down, bcfg, (down_cos, down_sin))
-        g = block(gp, t.reshape(B, A * Ptok, C), bcfg, t_global)
+        g = constrain(t.reshape(B, A * Ptok, C), DATA_AXIS, CONTEXT_AXIS, None)
+        g = block(gp, g, bcfg, t_global)
         global_out = g.reshape(B, A, Ptok, C)
         return global_out, frame_out, global_out, kv
 
@@ -454,10 +462,12 @@ def aggregator_reloc(
 
     def layer(tokens, fp, rp, kv_l):
         t = tokens.reshape(B * Q, Ptok, C)
+        t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = block(fp, t, bcfg, t_frame)
         t = t.reshape(B, Q, Ptok, C)
         frame_out = t
         q = t.reshape(B, Q * Ptok, C)
+        q = constrain(q, DATA_AXIS, CONTEXT_AXIS, None)
         # reloc block with cached context K/V
         h = P.layer_norm(rp["norm1"], q, bcfg.ln_eps)
         a = attention(rp["attn"], h, bcfg.attn, t_query, mask, extra_kv=kv_l)

@@ -59,7 +59,11 @@ def from_homogeneous(points: jax.Array, eps: float = 1e-6) -> jax.Array:
     Mirrors ``train/utils/geometry.py:550-560`` (adds eps rather than clamping,
     so sign of the denominator is preserved).
     """
-    return points[..., :-1] / (points[..., -1:] + eps)
+    denom = points[..., -1:] + eps
+    # guard exact zeros (keeps gradients finite; values this close to the
+    # camera plane carry no usable signal anyway)
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    return points[..., :-1] / denom
 
 
 def pad_poses(pose34: jax.Array) -> jax.Array:
@@ -228,8 +232,10 @@ def pose_encoding_to_extri_intri(
         H, W = image_size_hw
         fov_h = pose_encoding[..., 7]
         fov_w = pose_encoding[..., 8]
-        fy = (H / 2.0) / jnp.tan(fov_h / 2.0)
-        fx = (W / 2.0) / jnp.tan(fov_w / 2.0)
+        # clamp tan away from 0: a relu'd FoV head emits exactly 0 at init,
+        # which would make f infinite and poison gradients with NaNs
+        fy = (H / 2.0) / jnp.maximum(jnp.tan(fov_h / 2.0), 1e-6)
+        fx = (W / 2.0) / jnp.maximum(jnp.tan(fov_w / 2.0), 1e-6)
         zeros = jnp.zeros_like(fx)
         ones = jnp.ones_like(fx)
         row0 = jnp.stack([fx, zeros, jnp.full_like(fx, W / 2.0)], axis=-1)
