@@ -1,0 +1,95 @@
+"""Benchmark: flagship full-head inference throughput on one chip.
+
+Config mirrors the reference's standard demo inference
+(``train/demo_imc_forward.py:22,41,101``): 518x518 images, DINOv2 ViT-L/14
+trunk, 5-image scene duplicated into 5 anchors + 5 queries, fix_rank=300,
+bf16 trunk with fp32 heads. Metric: query frames fully reconstructed
+(pose + intrinsics + depth + point map + unprojection) per second per chip.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+comparison is against the hardware speed-of-light — achieved FLOP/s over the
+chip's peak bf16 FLOP/s (i.e. MFU), using XLA's own cost analysis for the
+FLOP count.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e (TPU v5 lite) peak bf16 matmul throughput per chip
+PEAK_BF16_FLOPS = 197e12
+
+NUM_FRAMES = 5
+IMG = 518
+RANK = 300
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    from self_supervise_sfm_tpu.models import sailrecon as M
+
+    dev = jax.devices()[0]
+    cfg = M.make_config(compute_dtype="bfloat16", remat=False)
+    params = M.init_sailrecon(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(size=(1, 2 * NUM_FRAMES, IMG, IMG, 3)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(1)
+
+    def fn(params, images, key):
+        return M.forward(
+            params, cfg, images,
+            num_anchor=NUM_FRAMES, num_query=NUM_FRAMES,
+            rank=RANK, subsample_key=key,
+        )
+
+    jfn = jax.jit(fn)
+    t0 = time.perf_counter()
+    lowered = jfn.lower(params, images, key)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+
+    out = compiled(params, images, key)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP - 1):
+        jax.block_until_ready(compiled(params, images, key))
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(params, images, key))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    frames_per_sec = NUM_FRAMES / dt
+    mfu = (flops / dt) / PEAK_BF16_FLOPS if np.isfinite(flops) else None
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip (full-head 518px inference, 5-frame scene)",
+                "value": round(frames_per_sec, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(mfu, 4) if mfu is not None else None,
+                "baseline_definition": "MFU vs chip peak bf16 (no reference-published numbers)",
+                "step_seconds": round(dt, 4),
+                "compile_seconds": round(compile_s, 1),
+                "xla_flops": flops,
+                "device": str(dev),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Visualisation toolbox: depth colormaps, correspondence overlays, CDF/PDF
+curves. Re-design of ``train/utils/vls.py`` (monodepth2vls, corres2vls,
+plot_cdf_pdf_curves) — numpy/matplotlib, host-side only."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.cm as cm
+import matplotlib.pyplot as plt
+
+
+def colorize_depth(
+    depth: np.ndarray, vmin: Optional[float] = None, vmax: Optional[float] = None,
+    cmap: str = "magma",
+) -> np.ndarray:
+    """(H, W) depth -> (H, W, 3) uint8 percentile-normalised colormap
+    (mirrors ``monodepth2vls``)."""
+    d = np.asarray(depth, np.float32)
+    valid = np.isfinite(d) & (d > 0)
+    if vmin is None:
+        vmin = np.percentile(d[valid], 5) if valid.any() else 0.0
+    if vmax is None:
+        vmax = np.percentile(d[valid], 95) if valid.any() else 1.0
+    norm = np.clip((d - vmin) / max(vmax - vmin, 1e-9), 0, 1)
+    rgba = cm.get_cmap(cmap)(norm)
+    out = (rgba[..., :3] * 255).astype(np.uint8)
+    out[~valid] = 0
+    return out
+
+
+def correspondence_overlay(
+    img_src: np.ndarray,
+    img_dst: np.ndarray,
+    src_coords: np.ndarray,
+    dst_coords: np.ndarray,
+    pred_dst_coords: Optional[np.ndarray] = None,
+    num_show: int = 64,
+    save_path: Optional[str] = None,
+):
+    """Side-by-side correspondence plot (mirrors ``corres2vls`` /
+    ``tuple2vls``): measured matches in green, predicted reprojections in
+    red with offset lines."""
+    rng = np.random.default_rng(0)
+    n = src_coords.shape[0]
+    sel = rng.choice(n, min(num_show, n), replace=False)
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    axes[0].imshow(np.asarray(img_src))
+    axes[0].scatter(src_coords[sel, 0], src_coords[sel, 1], c="lime", s=6)
+    axes[0].set_title("source")
+    axes[1].imshow(np.asarray(img_dst))
+    axes[1].scatter(dst_coords[sel, 0], dst_coords[sel, 1], c="lime", s=6,
+                    label="measured")
+    if pred_dst_coords is not None:
+        axes[1].scatter(pred_dst_coords[sel, 0], pred_dst_coords[sel, 1],
+                        c="red", s=6, label="reprojected")
+        for i in sel:
+            axes[1].plot(
+                [dst_coords[i, 0], pred_dst_coords[i, 0]],
+                [dst_coords[i, 1], pred_dst_coords[i, 1]],
+                c="yellow", lw=0.5, alpha=0.6,
+            )
+        axes[1].legend(loc="lower right", fontsize=8)
+    axes[1].set_title("destination")
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def plot_cdf_pdf_curves(
+    frame_cdfs: np.ndarray,
+    frame_pdfs: np.ndarray,
+    min_val: float,
+    max_val: float,
+    num_bins: int,
+    save_path: str,
+):
+    """Per-frame CDF/PDF curve grid (mirrors ``plot_cdf_pdf_curves``,
+    dumped every checkpoint interval at ``train_imc.py:418-425``)."""
+    frame_cdfs = np.asarray(frame_cdfs)
+    frame_pdfs = np.asarray(frame_pdfs)
+    n = frame_cdfs.shape[0]
+    xs = np.linspace(min_val, max_val, num_bins)
+    fig, axes = plt.subplots(2, n, figsize=(4 * n, 7), squeeze=False)
+    for f in range(n):
+        axes[0, f].plot(xs, frame_cdfs[f], "b-")
+        axes[0, f].set_title(f"frame {f}: CDF")
+        axes[0, f].grid(alpha=0.3)
+        axes[1, f].plot(xs, frame_pdfs[f], "r-")
+        axes[1, f].set_title(f"frame {f}: PDF")
+        axes[1, f].grid(alpha=0.3)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
