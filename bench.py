@@ -44,11 +44,21 @@ def main():
     key = jax.random.PRNGKey(1)
 
     def fn(params, images, key):
-        return M.forward(
+        preds = M.forward(
             params, cfg, images,
             num_anchor=NUM_FRAMES, num_query=NUM_FRAMES,
             rank=RANK, subsample_key=key,
         )
+        # scalar checksum over every dense output: fetching it on the host is
+        # the synchronisation point (block_until_ready is unreliable through
+        # the remote-TPU tunnel)
+        checksum = (
+            jnp.sum(preds["extrinsic"].astype(jnp.float32))
+            + jnp.sum(preds["depth_map"])
+            + jnp.sum(preds["point_map"])
+            + jnp.sum(preds["point_map_by_unprojection"])
+        )
+        return checksum
 
     jfn = jax.jit(fn)
     t0 = time.perf_counter()
@@ -60,15 +70,13 @@ def main():
     except Exception:
         flops = float("nan")
 
-    out = compiled(params, images, key)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(compiled(params, images, key))
+    for _ in range(WARMUP):
+        float(compiled(params, images, key))
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        jax.block_until_ready(compiled(params, images, key))
+        float(compiled(params, images, key))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 

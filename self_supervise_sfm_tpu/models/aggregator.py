@@ -49,6 +49,7 @@ from ..layers.block import (
 )
 from ..layers.vit import ViTConfig, init_vit, vit_forward, vit_large
 from ..parallel.sharding import CONTEXT_AXIS, DATA_AXIS, constrain
+from ..ops.mask_spec import RelocMask
 
 _RESNET_MEAN = (0.485, 0.456, 0.406)
 _RESNET_STD = (0.229, 0.224, 0.225)
@@ -204,17 +205,15 @@ def _subsample_indices(
     return jnp.concatenate([specials, perm], axis=-1)
 
 
-def _reloc_allow_mask(num_ctx: int, num_query: int, P: int) -> jax.Array:
-    """(1, 1, Q*P, num_ctx + Q*P) allow-mask: full context + own-frame only.
+def _reloc_allow_mask(num_ctx: int, num_query: int, P: int) -> RelocMask:
+    """Allow-mask spec: full context + own-frame only.
 
-    Token-level expansion of ``build_allow_block`` rows for query frames
+    Token-level structure of ``build_allow_block`` rows for query frames
     (``aggregator.py:832-851``): queries see all compressed anchors and
-    themselves, never each other.
+    themselves, never each other. Materialised lazily by the dense attention
+    path; evaluated per-tile (with dead-tile skipping) by the flash kernel.
     """
-    q_frame = jnp.arange(num_query * P) // P
-    qq = q_frame[:, None] == q_frame[None, :]
-    ctx = jnp.ones((num_query * P, num_ctx), bool)
-    return jnp.concatenate([ctx, qq], axis=1)[None, None]
+    return RelocMask(n_ctx=num_ctx, frame_size=P, num_frames=num_query)
 
 
 

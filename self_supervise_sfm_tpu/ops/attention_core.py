@@ -3,32 +3,39 @@
 Replaces the reference's ``F.scaled_dot_product_attention`` call
 (``sailrecon/layers/attention.py:103``). Two interchangeable implementations:
 
-- ``sdpa_dense``: einsum attention with fp32 logits/softmax — the XLA path.
-  On TPU, XLA fuses this well for moderate sequence lengths; it is also the
-  ground truth for kernel tests.
-- ``sdpa_flash``: Pallas block-wise flash attention (``ops/flash_attention``),
-  used on TPU for the long global-attention sequences. Selected via ``impl``.
+- ``sdpa_dense``: einsum attention with fp32 logits/softmax — the XLA path
+  and the ground truth for kernel tests.
+- ``flash_attention`` (``ops/flash_attention.py``): Pallas online-softmax
+  kernel with functional block masks; used on TPU for long sequences.
 
-Mask convention: boolean, **True = attend** (same as torch sdpa bool masks).
+Mask is either a boolean array (True = attend, torch-sdpa convention), a
+``RelocMask`` spec (materialised for the dense path, evaluated per-tile for
+the flash path), or None.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 
+from .mask_spec import RelocMask
+
 _NEG_INF = -1e30
+
+MaskLike = Union[None, jax.Array, RelocMask]
 
 
 def sdpa_dense(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    mask: Optional[jax.Array] = None,
+    mask: MaskLike = None,
 ) -> jax.Array:
     """Dense attention. q,k,v: (B, H, N, d); mask broadcastable (B|1, 1, Nq, Nk)."""
+    if isinstance(mask, RelocMask):
+        mask = mask.materialize()
     d = q.shape[-1]
     scale = 1.0 / (d**0.5)
     logits = jnp.einsum(
@@ -47,25 +54,22 @@ def sdpa(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    mask: Optional[jax.Array] = None,
+    mask: MaskLike = None,
     impl: str = "auto",
 ) -> jax.Array:
     """Dispatch between implementations.
 
-    ``impl``: 'dense' | 'flash' | 'auto'. 'auto' uses flash on TPU backends for
-    sequences where it pays off, otherwise dense.
+    ``impl``: 'dense' | 'flash' | 'auto'. 'auto' uses the Pallas flash kernel
+    when the mask form supports it and the sequence is long enough to pay off.
     """
     if impl == "dense":
         return sdpa_dense(q, k, v, mask)
     if impl in ("flash", "auto"):
-        try:
-            from . import flash_attention as fa
+        from . import flash_attention as fa
 
-            if fa.supported(q, k, v, mask) and (
-                impl == "flash" or fa.worth_it(q, k, v)
-            ):
-                return fa.flash_attention(q, k, v, mask)
-        except ImportError:
-            pass
+        if fa.supported(q, k, v, mask) and (impl == "flash" or fa.worth_it(q, k, v)):
+            return fa.flash_attention(
+                q, k, v, mask if isinstance(mask, RelocMask) else None
+            )
         return sdpa_dense(q, k, v, mask)
     raise ValueError(f"unknown attention impl: {impl}")

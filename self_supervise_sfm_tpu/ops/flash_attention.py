@@ -1,0 +1,220 @@
+"""Pallas TPU flash attention with functional block-structured masks.
+
+Replaces ``F.scaled_dot_product_attention`` (``sailrecon/layers/attention.py:103``)
+for the hot attention sites. Design (see /opt/skills/guides/pallas_guide.md):
+
+- online-softmax tiling: grid (batch*heads, q_tiles, k_tiles), the k axis is
+  the innermost (sequential on TPU) so running max / denominator / accumulator
+  live in VMEM scratch across k steps — O(N) memory instead of the XLA dense
+  path's O(N^2) fp32 logits (3 GB+ per layer at the 5-frame global-attention
+  size A*P = 6870).
+- masks are evaluated *functionally* per tile from a ``RelocMask`` spec and
+  fully-masked tiles are skipped via ``pl.when`` — the anchor/query structure
+  makes ~(Q-1)/Q of the query-query tiles dead (SURVEY §7.2).
+- fp32 softmax state, bf16 QK^T inputs on the MXU.
+- backward: dense recompute under ``jax.custom_vjp`` (flash backward kernels
+  are a later optimisation; training shapes fit the dense path).
+
+Off-TPU (tests), kernels run in Pallas interpret mode for bit-accurate
+semantics checks against the dense reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mask_spec import RelocMask
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, sm_scale, mask: Optional[RelocMask], nk_valid, bq, bk, d,
+):
+    ki = pl.program_id(2)
+    nk_tiles = pl.num_programs(2)
+    qi = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q0 = qi * bq
+    k0 = ki * bk
+    if mask is not None:
+        visible = mask.block_visible(q0, q0 + bq, k0, k0 + bk) & (k0 < nk_valid)
+    else:
+        visible = k0 < nk_valid
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0]  # (bq, d)
+        k = k_ref[0]  # (bk, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # (bq, bk)
+
+        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        allowed = k_idx < nk_valid
+        if mask is not None:
+            q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            allowed &= mask.allowed(q_idx, k_idx)
+        s = jnp.where(allowed, s, NEG_INF)
+
+        m_prev = m_scratch[:, 0:1]  # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (bq, bk)
+        l_new = l_scratch[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+    @pl.when(ki == nk_tiles - 1)
+    def _finalize():
+        l = l_scratch[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+
+
+def _flash_fwd(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    mask: Optional[RelocMask],
+    bq: int, bk: int,
+    interpret: bool,
+) -> jax.Array:
+    """q: (BH, Nq, d); k/v: (BH, Nk, d). Returns (BH, Nq, d)."""
+    BH, Nq, d = q.shape
+    Nk = k.shape[1]
+    sm_scale = 1.0 / (d**0.5)
+
+    nq_pad = _cdiv(Nq, bq) * bq
+    nk_pad = _cdiv(Nk, bk) * bk
+    if nq_pad != Nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad - Nq), (0, 0)))
+    if nk_pad != Nk:
+        k = jnp.pad(k, ((0, 0), (0, nk_pad - Nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_pad - Nk), (0, 0)))
+
+    grid = (BH, nq_pad // bq, nk_pad // bk)
+    kernel = functools.partial(
+        _kernel, sm_scale=sm_scale, mask=mask, nk_valid=Nk, bq=bq, bk=bk, d=d
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, nq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :Nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_mha(q, k, v, mask, bq, bk, interpret):
+    return _flash_fwd(q, k, v, mask, bq, bk, interpret)
+
+
+def _flash_mha_fwd(q, k, v, mask, bq, bk, interpret):
+    out = _flash_fwd(q, k, v, mask, bq, bk, interpret)
+    return out, (q, k, v)
+
+
+def _dense_ref(q, k, v, mask: Optional[RelocMask]):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask.materialize()[0], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bqk,bkd->bqd", p.astype(q.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def _flash_mha_bwd(mask, bq, bk, interpret, res, g):
+    # dense recompute backward: correct and simple; flash backward kernels are
+    # a planned optimisation (training shapes fit the dense path under remat)
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _dense_ref(q, k, v, mask), q, k, v)
+    return vjp(g)
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API (consumed by ops.attention_core.sdpa)
+# ---------------------------------------------------------------------------
+
+
+def _pick_block(n, target):
+    return int(min(target, max(128, 1 << int(np.ceil(np.log2(max(n, 1)))))))
+
+
+def supported(q, k, v, mask) -> bool:
+    if mask is not None and not isinstance(mask, RelocMask):
+        return False  # dense boolean masks stay on the XLA path
+    d = q.shape[-1]
+    return d <= 256 and q.ndim == 4
+
+
+def worth_it(q, k, v) -> bool:
+    return q.shape[-2] * k.shape[-2] >= 1024 * 1024
+
+
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    mask: Optional[RelocMask] = None,
+    bq: int = 512,
+    bk: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """(B, H, Nq, d) x (B, H, Nk, d)^2 -> (B, H, Nq, d)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, Nq, d = q.shape
+    Nk = k.shape[2]
+    bq = min(bq, _cdiv(Nq, 1))
+    bk = min(bk, _cdiv(Nk, 1))
+    # tiny sequences: keep one tile
+    bq = int(min(bq, max(128, Nq)))
+    bk = int(min(bk, max(128, Nk)))
+    out = _flash_mha(
+        q.reshape(B * H, Nq, d),
+        k.reshape(B * H, Nk, d),
+        v.reshape(B * H, Nk, d),
+        mask, bq, bk, interpret,
+    )
+    return out.reshape(B, H, Nq, d)

@@ -52,7 +52,10 @@ def write_ply(
     if has_color:
         colors = np.asarray(colors).reshape(-1, 3)
         if colors.dtype != np.uint8:
-            colors = np.clip(colors * 255.0 if colors.max() <= 1.0 + 1e-6 else colors, 0, 255).astype(np.uint8)
+            in_unit_range = colors.size == 0 or colors.max() <= 1.0 + 1e-6
+            colors = np.clip(
+                colors * 255.0 if in_unit_range else colors, 0, 255
+            ).astype(np.uint8)
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
     header += [f"property float {c}" for c in "xyz"]
     if has_color:
@@ -110,6 +113,8 @@ def save_pointcloud_ply(
         if conf_key in pred:
             conf = np.asarray(pred[conf_key]).reshape(-1)
             keep &= conf > conf_threshold
+            if not keep.any():  # e.g. untrained model — keep everything
+                keep = np.ones(pts.shape[0], bool)
         rgb = None
         for k in ("rgbs", "images"):
             if k in pred:

@@ -1,0 +1,59 @@
+"""Smoke test of the full trainer loop on synthetic scenes (tiny model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from self_supervise_sfm_tpu.data.synthetic import make_synthetic_dataset
+
+
+def test_trainer_runs_and_checkpoints(tmp_path, monkeypatch):
+    from dataclasses import replace
+
+    from self_supervise_sfm_tpu.train import trainer as T
+    from self_supervise_sfm_tpu.train.loop import TrainConfig
+    from self_supervise_sfm_tpu.train.loss import LossConfig
+    from self_supervise_sfm_tpu.models import sailrecon as M
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=2, num_images=3, image_size=(40, 32))
+
+    # shrink the model inside run() by patching make_config defaults
+    orig_make = M.make_config
+
+    def tiny_make_config(**kw):
+        kw.update(
+            dict(img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+                 intermediate_layer_idx=(0, 1, 2, 3))
+        )
+        return orig_make(**kw)
+
+    monkeypatch.setattr(M, "make_config", tiny_make_config)
+
+    cfg = T.TrainerConfig(
+        data_root=root,
+        results_dir=str(tmp_path / "results"),
+        total_steps=3,
+        num_images=2,
+        sample_num=64,
+        img_size=28,
+        num_context=1,
+        checkpoint_every=2,
+        artifact_every=2,
+        sanity_check_every=2,
+        log_every=1,
+        compute_dtype="float32",
+        remat=False,
+        rank=2,
+        train=TrainConfig(max_lr=1e-4, warmup_steps=2, total_steps=3, rank=2,
+                          num_images=2, loss=LossConfig(num_bins=50)),
+    )
+    state = T.run(cfg)
+    assert int(state["step"]) == 3
+    # checkpoint written
+    assert os.path.isdir(os.path.join(cfg.results_dir, "checkpoints"))
+    # artifacts written at step 2
+    vls_dir = os.path.join(cfg.results_dir, "vls", "step_2")
+    assert os.path.exists(os.path.join(vls_dir, "pred.ply"))
+    assert os.path.exists(os.path.join(vls_dir, "poses_kitti.txt"))
