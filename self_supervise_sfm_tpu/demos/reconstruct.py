@@ -1,0 +1,128 @@
+"""Demo: feed-forward scene reconstruction on IMC scenes.
+
+Equivalent of ``train/demo_imc_forward.py`` (single-pass) and
+``train/demo_imc.py`` (two-phase scene-cache + batched relocalisation), with
+the artifact outputs the reference intended (PLY point cloud + KITTI poses)
+plus ATE against ground-truth poses when the scene carries them.
+
+Usage:
+  python -m self_supervise_sfm_tpu.demos.reconstruct --data-root <imc_root> \\
+      [--mode forward|reloc] [--num-images 5] [--pretrained sailrecon.pt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.imc2021 import IMC2021Scenes
+from ..models import sailrecon as M
+from ..utils import export as EX
+from ..utils.evaluation import absolute_trajectory_error
+
+
+def load_params(cfg, pretrained: str, key):
+    if pretrained:
+        from ..utils import converter as C
+
+        sd = C.load_torch_state_dict(pretrained)
+        return C.convert_sailrecon(sd)
+    print("WARNING: no --pretrained checkpoint; using random weights")
+    return M.init_sailrecon(key, cfg)
+
+
+def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key):
+    """images_np: (S, H, W, 3). Returns host predictions dict for S views."""
+    images = jnp.asarray(images_np)[None]  # (1, S, H, W, 3)
+    S = images.shape[1]
+    if mode == "forward":
+        # single pass: duplicate frames into anchors + queries
+        # (prepare-model-input semantics, demo_imc_forward.py:76-101)
+        dup = jnp.concatenate([images, images], axis=1)
+        fwd = jax.jit(
+            lambda p, x, k: M.forward(
+                p, cfg, x, num_anchor=S, num_query=S, rank=rank, subsample_key=k
+            )
+        )
+        preds = fwd(params, dup, key)
+    else:
+        # two-phase: build the scene cache from all frames, then localise all
+        # frames against it in ONE batched call (vs the reference's
+        # sequential loop, demo_imc.py:97-107)
+        build = jax.jit(
+            lambda p, x, k: M.build_scene_cache(p, cfg, x, rank=rank, subsample_key=k)
+        )
+        cache, cam_tok = build(params, images, key)
+        rel = jax.jit(lambda p, c, t, x: M.reloc(p, cfg, c, t, x))
+        preds = rel(params, cache, cam_tok, images)
+    return jax.device_get(preds)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--out-dir", default="demo_out")
+    ap.add_argument("--mode", choices=["forward", "reloc"], default="forward")
+    ap.add_argument("--num-images", type=int, default=5)
+    ap.add_argument("--img-size", type=int, default=518)
+    ap.add_argument("--rank", type=int, default=300)
+    ap.add_argument("--num-scenes", type=int, default=3)
+    ap.add_argument("--pretrained", default="")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    cfg = M.make_config(img_size=args.img_size, compute_dtype=args.compute_dtype)
+    key = jax.random.PRNGKey(0)
+    params = load_params(cfg, args.pretrained, key)
+
+    ds = IMC2021Scenes(
+        args.data_root, sample_num=16, num_images=args.num_images,
+        target_size=args.img_size,
+    )
+    rng = np.random.default_rng(0)
+    results = {}
+    for si in range(min(args.num_scenes, len(ds))):
+        scene = ds.load_scene(si, rng)
+        name = scene["scene_name"]
+        out_dir = os.path.join(args.out_dir, name)
+        os.makedirs(out_dir, exist_ok=True)
+        t0 = time.perf_counter()
+        preds = reconstruct_scene(
+            params, cfg, scene["images"], args.mode, args.rank,
+            jax.random.fold_in(key, si),
+        )
+        dt = time.perf_counter() - t0
+        S = scene["images"].shape[0]
+        per_view = [
+            {
+                "point_map": preds["point_map"][0, i],
+                "xyz_cnf": preds["xyz_cnf"][0, i],
+                "images": scene["images"][i],
+            }
+            for i in range(S)
+        ]
+        EX.save_pointcloud_ply(per_view, os.path.join(out_dir, "pred.ply"))
+        EX.save_kitti_poses(
+            preds["extrinsic"][0], os.path.join(out_dir, "poses_kitti.txt")
+        )
+        entry = {"seconds": round(dt, 2), "frames": S}
+        if "poses_w2c_gt" in scene:
+            entry.update(
+                absolute_trajectory_error(
+                    preds["extrinsic"][0], scene["poses_w2c_gt"][:, :3]
+                )
+            )
+        results[name] = entry
+        print(name, entry, flush=True)
+    with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

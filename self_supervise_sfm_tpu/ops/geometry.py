@@ -192,6 +192,43 @@ def mat_to_quat(matrix: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Axis-angle (Rodrigues) — the bundle-adjustment rotation parameterisation
+# ---------------------------------------------------------------------------
+
+
+def axis_angle_to_mat(aa: jax.Array) -> jax.Array:
+    """(..., 3) axis-angle -> (..., 3, 3) rotation (Rodrigues), smooth at 0."""
+    theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)[..., None]  # (..., 1, 1)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    x, y, z = aa[..., 0], aa[..., 1], aa[..., 2]
+    zeros = jnp.zeros_like(x)
+    K = jnp.stack(
+        [
+            jnp.stack([zeros, -z, y], axis=-1),
+            jnp.stack([z, zeros, -x], axis=-1),
+            jnp.stack([-y, x, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
+    # sin(t)/t and (1-cos t)/t^2 with stable small-angle forms
+    a = jnp.sinc(theta / jnp.pi)  # sin(theta)/theta
+    b = jnp.where(theta2 > 1e-12, (1.0 - jnp.cos(theta)) / (theta2 + 1e-24), 0.5)
+    return eye + a * K + b * (K @ K)
+
+
+def mat_to_axis_angle(R: jax.Array) -> jax.Array:
+    """(..., 3, 3) rotation -> (..., 3) axis-angle via the quaternion."""
+    q = mat_to_quat(R)  # xyzw, w >= 0
+    xyz = q[..., :3]
+    w = jnp.clip(q[..., 3:4], -1.0, 1.0)
+    n = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    theta = 2.0 * jnp.arctan2(n, w)
+    scale = jnp.where(n > 1e-9, theta / jnp.maximum(n, 1e-12), 2.0)
+    return xyz * scale
+
+
+# ---------------------------------------------------------------------------
 # Pose encoding  (absT_quaR_FoV, 9-D)
 # ---------------------------------------------------------------------------
 

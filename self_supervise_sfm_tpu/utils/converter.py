@@ -202,6 +202,91 @@ def convert_dpt_head(sd: StateDict, prefix: str, feature_only: bool = False):
     return p
 
 
+def convert_torch_mha(sd: StateDict, prefix: str):
+    """torch ``nn.MultiheadAttention`` -> fused-qkv attention params."""
+    p = {
+        "qkv": {"w": jnp.asarray(sd[f"{prefix}.in_proj_weight"].T)},
+        "proj": convert_linear(sd, f"{prefix}.out_proj"),
+    }
+    if f"{prefix}.in_proj_bias" in sd:
+        p["qkv"]["b"] = jnp.asarray(sd[f"{prefix}.in_proj_bias"])
+    return p
+
+
+def _convert_track_attn_block(sd: StateDict, prefix: str, cross: bool):
+    p = {
+        "norm1": convert_ln(sd, f"{prefix}.norm1"),
+        "norm2": convert_ln(sd, f"{prefix}.norm2"),
+        "attn": convert_torch_mha(
+            sd, f"{prefix}.cross_attn" if cross else f"{prefix}.attn"
+        ),
+        "mlp": {
+            "fc1": convert_linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": convert_linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+    if cross:
+        p["norm_context"] = convert_ln(sd, f"{prefix}.norm_context")
+    return p
+
+
+def convert_updateformer(sd: StateDict, prefix: str, time_depth: int, space_depth: int):
+    p = {
+        "input_norm": convert_ln(sd, f"{prefix}.input_norm"),
+        "input_transform": convert_linear(sd, f"{prefix}.input_transform"),
+        "output_norm": convert_ln(sd, f"{prefix}.output_norm"),
+        "flow_head": convert_linear(sd, f"{prefix}.flow_head"),
+        "time_blocks": [
+            _convert_track_attn_block(sd, f"{prefix}.time_blocks.{i}", False)
+            for i in range(time_depth)
+        ],
+    }
+    if space_depth:
+        # (sic) the reference parameter is named "virual_tracks"
+        p["virtual_tracks"] = jnp.asarray(sd[f"{prefix}.virual_tracks"])
+        p["space_virtual_blocks"] = [
+            _convert_track_attn_block(sd, f"{prefix}.space_virtual_blocks.{i}", False)
+            for i in range(space_depth)
+        ]
+        p["space_point2virtual_blocks"] = [
+            _convert_track_attn_block(
+                sd, f"{prefix}.space_point2virtual_blocks.{i}", True
+            )
+            for i in range(space_depth)
+        ]
+        p["space_virtual2point_blocks"] = [
+            _convert_track_attn_block(
+                sd, f"{prefix}.space_virtual2point_blocks.{i}", True
+            )
+            for i in range(space_depth)
+        ]
+    return p
+
+
+def convert_track_head(sd: StateDict, prefix: str, depth: int = 6, predict_conf=True):
+    pfx = f"{prefix}." if prefix else ""
+    p = {
+        "feature_extractor": convert_dpt_head(
+            sd, f"{pfx}feature_extractor", feature_only=True
+        ),
+        "corr_mlp": {
+            "fc1": convert_linear(sd, f"{pfx}tracker.corr_mlp.fc1"),
+            "fc2": convert_linear(sd, f"{pfx}tracker.corr_mlp.fc2"),
+        },
+        "query_ref_token": jnp.asarray(sd[f"{pfx}tracker.query_ref_token"]),
+        "updateformer": convert_updateformer(
+            sd, f"{pfx}tracker.updateformer", depth, depth
+        ),
+        "fmap_norm": convert_ln(sd, f"{pfx}tracker.fmap_norm"),
+        "ffeat_norm": convert_ln(sd, f"{pfx}tracker.ffeat_norm"),
+        "ffeat_updater": convert_linear(sd, f"{pfx}tracker.ffeat_updater.0"),
+        "vis_predictor": convert_linear(sd, f"{pfx}tracker.vis_predictor.0"),
+    }
+    if predict_conf:
+        p["conf_predictor"] = convert_linear(sd, f"{pfx}tracker.conf_predictor.0")
+    return p
+
+
 def convert_sailrecon(sd: StateDict, depth: int = 24, vit_depth: int = 24):
     """Full reference SailRecon state dict -> framework param pytree."""
     p = {
