@@ -13,9 +13,16 @@ FLOP count.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: repeated bench runs skip the multi-minute
+# remote compile of the full model + Mosaic kernels
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 

@@ -191,7 +191,10 @@ def supported(q, k, v, mask) -> bool:
 
 
 def worth_it(q, k, v) -> bool:
-    return q.shape[-2] * k.shape[-2] >= 1024 * 1024
+    # dense XLA attention is on par with the kernel below ~2k tokens (and each
+    # Mosaic kernel costs minutes of compile through the remote-TPU tunnel);
+    # flash pays off on the long global/reloc sequences
+    return q.shape[-2] * k.shape[-2] >= 4 * 1024 * 1024
 
 
 def flash_attention(
