@@ -41,8 +41,9 @@ def main():
 
     dev = jax.devices()[0]
     cfg = M.make_config(compute_dtype="bfloat16", remat=False)
-    params = M.init_sailrecon(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(params)
+    # one jitted program: on-device init, no per-leaf host dispatch through
+    # the remote-TPU tunnel
+    params = jax.jit(lambda k: M.init_sailrecon(k, cfg))(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(

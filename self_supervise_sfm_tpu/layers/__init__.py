@@ -1,1 +1,1 @@
-from . import params, rope, attention, block, vit  # noqa: F401
+from . import params, rope, attention, block, swiglu, vit  # noqa: F401
