@@ -180,6 +180,32 @@ def forward(
     return _decode_heads(p, cfg, taps, cam_tok, (H, W), psi)
 
 
+def pose_forward(
+    p,
+    cfg: SailReconConfig,
+    images: jax.Array,
+    num_anchor: int,
+    num_query: int,
+    rank: Optional[int] = None,
+    subsample_key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pose-only evaluation path (the ``co3d_forward`` equivalent,
+    ``sail_recon.py:288-312``): aggregator + camera head, no dense heads.
+
+    Returns (extrinsics (B, Q, 3, 4), intrinsics (B, Q, 3, 3)) in fp32 (the
+    reference decodes in fp64; fp32 is the TPU-native precision and the
+    decode is a handful of transcendental ops on 9 numbers).
+    """
+    H, W = images.shape[2], images.shape[3]
+    P0 = (H // cfg.aggregator.patch_size) * (W // cfg.aggregator.patch_size)
+    taps, _, cam_tok = aggregator_forward(
+        p["aggregator"], cfg.aggregator, images, num_anchor, num_query,
+        rank if rank is not None else P0, subsample_key,
+    )
+    cam_maps = camera_head(p["camera_head"], taps[-1], cam_tok, cfg.camera)
+    return G.pose_encoding_to_extri_intri(cam_maps[-1], (H, W))
+
+
 def build_scene_cache(
     p,
     cfg: SailReconConfig,

@@ -191,10 +191,9 @@ def supported(q, k, v, mask) -> bool:
 
 
 def worth_it(q, k, v) -> bool:
-    # dense XLA attention is on par with the kernel below ~2k tokens (and each
-    # Mosaic kernel costs minutes of compile through the remote-TPU tunnel);
-    # flash pays off on the long global/reloc sequences
-    return q.shape[-2] * k.shape[-2] >= 4 * 1024 * 1024
+    # below ~1k tokens the dense XLA path wins (tiny grids underutilise the
+    # kernel); above it, avoiding the fp32 logits HBM round-trip pays off
+    return q.shape[-2] * k.shape[-2] >= 1_500_000
 
 
 def flash_attention(

@@ -109,7 +109,22 @@ def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fwd, 
     return m
 
 
+def maybe_init_distributed():
+    """Multi-host: initialise JAX's distributed runtime when launched under a
+    multi-process coordinator (the jax.distributed replacement for the
+    reference's NCCL rendezvous, ``train_imc.py:47-58``). No-op single-host.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+        )
+
+
 def run(cfg: TrainerConfig):
+    maybe_init_distributed()
     os.makedirs(cfg.results_dir, exist_ok=True)
     devices = jax.devices()
     num_context = cfg.num_context

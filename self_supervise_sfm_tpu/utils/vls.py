@@ -79,6 +79,43 @@ def correspondence_overlay(
     return fig
 
 
+def visualize_tracks_on_images(
+    images: np.ndarray,  # (S, H, W, 3) in [0,1]
+    tracks: np.ndarray,  # (S, N, 2)
+    visibility: Optional[np.ndarray] = None,  # (S, N) bool
+    out_dir: str = "track_visuals",
+    max_tracks: int = 256,
+):
+    """Per-frame track overlays, colour-coded by the track's position in the
+    first frame (re-design of ``sailrecon/utils/visual_track.py``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    S, N = tracks.shape[:2]
+    H, W = np.asarray(images[0]).shape[:2]
+    sel = np.linspace(0, N - 1, min(max_tracks, N)).astype(int)
+    x0 = tracks[0, sel, 0] / max(W - 1, 1)
+    y0 = tracks[0, sel, 1] / max(H - 1, 1)
+    colors = cm.get_cmap("hsv")((x0 + y0) / 2.0)
+    paths = []
+    for s in range(S):
+        fig, ax = plt.subplots(figsize=(6, 6 * H / W))
+        ax.imshow(np.asarray(images[s]))
+        pts = tracks[s, sel]
+        vis = (
+            visibility[s, sel].astype(bool)
+            if visibility is not None
+            else np.ones(len(sel), bool)
+        )
+        ax.scatter(pts[vis, 0], pts[vis, 1], c=colors[vis], s=8)
+        if (~vis).any():
+            ax.scatter(pts[~vis, 0], pts[~vis, 1], c="white", s=4, alpha=0.4)
+        ax.axis("off")
+        path = os.path.join(out_dir, f"track_frame_{s:04d}.png")
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(path)
+    return paths
+
+
 def plot_cdf_pdf_curves(
     frame_cdfs: np.ndarray,
     frame_pdfs: np.ndarray,

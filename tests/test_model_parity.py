@@ -258,3 +258,26 @@ class TestDPTHeadParity:
         # reference preds: (B, S, H, W, C-1) channels-last after activate_head
         np.testing.assert_allclose(np.asarray(preds), to_np(ref_preds), atol=5e-4)
         np.testing.assert_allclose(np.asarray(conf), to_np(ref_conf), atol=5e-4)
+
+
+class TestPoseForward:
+    def test_pose_only_matches_full(self, rng):
+        """pose_forward == the pose part of the full forward."""
+        import jax
+        from self_supervise_sfm_tpu.models import sailrecon as SM
+
+        cfg = SM.make_config(
+            img_size=IMG, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+            intermediate_layer_idx=(0, 1, 2, 3), attn_impl="dense",
+        )
+        p = SM.init_sailrecon(jax.random.PRNGKey(0), cfg)
+        imgs = jnp.asarray(rng.uniform(size=(1, 3, IMG, IMG, 3)).astype(np.float32))
+        key = jax.random.PRNGKey(2)
+        full = SM.forward(p, cfg, imgs, num_anchor=2, num_query=1, rank=2,
+                          subsample_key=key)
+        ext, intr = SM.pose_forward(p, cfg, imgs, num_anchor=2, num_query=1,
+                                    rank=2, subsample_key=key)
+        np.testing.assert_allclose(np.asarray(ext), np.asarray(full["extrinsic"]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(intr), np.asarray(full["intrinsic"]),
+                                   atol=1e-3)

@@ -133,3 +133,16 @@ class TestSanityCheckAndVls:
             save_path=str(tmp_path / "corres.png"),
         )
         assert os.path.exists(p2)
+
+
+class TestTrackVls:
+    def test_visualize_tracks(self, rng, tmp_path):
+        from self_supervise_sfm_tpu.utils import vls
+
+        imgs = rng.uniform(size=(3, 24, 32, 3)).astype(np.float32)
+        tracks = rng.uniform(0, 24, size=(3, 20, 2)).astype(np.float32)
+        vis = rng.uniform(size=(3, 20)) > 0.3
+        paths = vls.visualize_tracks_on_images(
+            imgs, tracks, vis, out_dir=str(tmp_path / "tv")
+        )
+        assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
