@@ -196,11 +196,20 @@ def worth_it(q, k, v) -> bool:
     return q.shape[-2] * k.shape[-2] >= 1_500_000
 
 
+def _auto_block(n: int) -> int:
+    """Measured-on-v5e tile heuristic: a single padded tile up to 2048 tokens
+    (no cross-tile softmax state traffic), 1024 beyond (VMEM limit; 2048^2
+    tiles fail to compile, 1024 beat 512/768/1536 in the sweep)."""
+    if n <= 2048:
+        return _cdiv(n, 8) * 8
+    return 1024
+
+
 def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     mask: Optional[RelocMask] = None,
-    bq: int = 512,
-    bk: int = 512,
+    bq: Optional[int] = None,
+    bk: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """(B, H, Nq, d) x (B, H, Nk, d)^2 -> (B, H, Nq, d)."""
@@ -208,11 +217,10 @@ def flash_attention(
         interpret = jax.default_backend() != "tpu"
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
-    bq = min(bq, _cdiv(Nq, 1))
-    bk = min(bk, _cdiv(Nk, 1))
-    # tiny sequences: keep one tile
-    bq = int(min(bq, max(128, Nq)))
-    bk = int(min(bk, max(128, Nk)))
+    bq = bq or _auto_block(Nq)
+    bk = bk or _auto_block(Nk)
+    bq = int(min(bq, _cdiv(max(128, Nq), 8) * 8))
+    bk = int(min(bk, _cdiv(max(128, Nk), 8) * 8))
     out = _flash_mha(
         q.reshape(B * H, Nq, d),
         k.reshape(B * H, Nk, d),

@@ -1,0 +1,151 @@
+"""VGGSfM-variant coarse-to-fine tracker parity vs the reference modules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self_supervise_sfm_tpu.pipeline import vggsfm_tracker as VT
+from self_supervise_sfm_tpu.utils import converter as C
+
+from tests._reference import import_reference
+
+
+@pytest.fixture(scope="module")
+def torch():
+    return import_reference()
+
+
+def to_np(t):
+    return t.detach().cpu().numpy()
+
+
+def convert_residual_block(sd, prefix, stride):
+    p = {
+        "conv1": C.convert_conv(sd, f"{prefix}.conv1"),
+        "conv2": C.convert_conv(sd, f"{prefix}.conv2"),
+    }
+    if stride != 1:
+        p["downsample"] = C.convert_conv(sd, f"{prefix}.downsample.0")
+    return p
+
+
+class TestEncoders:
+    def test_residual_block(self, torch, rng):
+        from sailrecon.dependency.track_modules.modules import ResidualBlock
+
+        torch.manual_seed(0)
+        for c_in, c_out, stride in ((8, 8, 1), (8, 16, 2)):
+            ref = ResidualBlock(c_in, c_out, "instance", stride=stride).eval()
+            x = rng.normal(size=(2, c_in, 16, 16)).astype(np.float32)
+            with torch.no_grad():
+                out = to_np(ref(torch.from_numpy(x)))
+            sd = {f"r.{k}": v for k, v in C.torch_module_to_state_dict(ref).items()}
+            p = convert_residual_block(sd, "r", stride)
+            ours = np.asarray(
+                VT.residual_block(p, jnp.asarray(x.transpose(0, 2, 3, 1)), stride)
+            ).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(ours, out, atol=1e-4)
+
+    def test_basic_encoder(self, torch, rng):
+        from sailrecon.dependency.track_modules.blocks import BasicEncoder
+
+        torch.manual_seed(1)
+        ref = BasicEncoder(stride=4).eval()
+        x = rng.uniform(size=(2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            out = to_np(ref(torch.from_numpy(x)))
+        sd = C.torch_module_to_state_dict(ref)
+        sd = {f"e.{k}": v for k, v in sd.items()}
+        p = {
+            "conv1": C.convert_conv(sd, "e.conv1"),
+            "layer1": [convert_residual_block(sd, "e.layer1.0", 1),
+                       convert_residual_block(sd, "e.layer1.1", 1)],
+            "layer2": [convert_residual_block(sd, "e.layer2.0", 2),
+                       convert_residual_block(sd, "e.layer2.1", 1)],
+            "layer3": [convert_residual_block(sd, "e.layer3.0", 2),
+                       convert_residual_block(sd, "e.layer3.1", 1)],
+            "layer4": [convert_residual_block(sd, "e.layer4.0", 2),
+                       convert_residual_block(sd, "e.layer4.1", 1)],
+            "conv2": C.convert_conv(sd, "e.conv2"),
+            "conv3": C.convert_conv(sd, "e.conv3"),
+        }
+        ours = np.asarray(
+            VT.basic_encoder(p, jnp.asarray(x.transpose(0, 2, 3, 1)), stride=4)
+        ).transpose(0, 3, 1, 2)
+        assert ours.shape == out.shape
+        np.testing.assert_allclose(ours, out, atol=2e-3)
+
+    def test_shallow_encoder(self, torch, rng):
+        from sailrecon.dependency.track_modules.blocks import ShallowEncoder
+
+        torch.manual_seed(2)
+        ref = ShallowEncoder(stride=1).eval()
+        x = rng.uniform(size=(4, 3, 31, 31)).astype(np.float32)
+        with torch.no_grad():
+            out = to_np(ref(torch.from_numpy(x)))
+        sd = {f"e.{k}": v for k, v in C.torch_module_to_state_dict(ref).items()}
+        p = {
+            "conv1": C.convert_conv(sd, "e.conv1"),
+            "layer1": convert_residual_block(sd, "e.layer1", 2),
+            "layer2": convert_residual_block(sd, "e.layer2", 2),
+            "conv2": C.convert_conv(sd, "e.conv2"),
+        }
+        ours = np.asarray(
+            VT.shallow_encoder(p, jnp.asarray(x.transpose(0, 2, 3, 1)), stride=1)
+        ).transpose(0, 3, 1, 2)
+        assert ours.shape == out.shape
+        np.testing.assert_allclose(ours, out, atol=2e-3)
+
+
+class TestPatchExtraction:
+    def test_matches_unfold_indexing(self, torch, rng):
+        """Our gather == the reference's unfold-based patch extraction."""
+        F_, H, W, psize = 3, 40, 40, 9
+        imgs = rng.uniform(size=(F_, 3, H, W)).astype(np.float32)
+        topleft = rng.integers(0, H - psize, size=(F_, 5, 2)).astype(np.int32)
+
+        t = torch.from_numpy(imgs)
+        unfolded = t.unfold(2, psize, 1).unfold(3, psize, 1)
+        batch_idx = torch.arange(F_)[:, None].expand(-1, 5)
+        tl = torch.from_numpy(topleft).long()
+        ref = unfolded[batch_idx, :, tl[..., 1], tl[..., 0]]  # (F, 5, 3, p, p)
+
+        ours = VT.extract_patches(
+            jnp.asarray(imgs.transpose(0, 2, 3, 1)), jnp.asarray(topleft), psize
+        )  # (F, 5, p, p, 3)
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 1, 4, 2, 3), to_np(ref), atol=1e-6
+        )
+
+
+class TestEndToEnd:
+    def test_track_runs_and_query_frame_fixed(self, rng):
+        """Smoke: random-weight coarse-to-fine tracking is shape-correct and
+        keeps the query frame's coordinates fixed."""
+        cfg = VT.VGGSfMTrackerConfig(
+            coarse=VT.VGGSfMPredictorConfig(stride=4, depth=2, corr_levels=3,
+                                            corr_radius=2, latent_dim=32,
+                                            hidden_size=64, use_spaceatt=True),
+            fine=VT.VGGSfMPredictorConfig(stride=1, depth=2, corr_levels=3,
+                                          corr_radius=3, latent_dim=32,
+                                          hidden_size=64, fine=True,
+                                          use_spaceatt=False),
+            pradius=7, fine_iters=2,
+        )
+        # shrink encoders to match latent 32? coarse encoder outputs 128 —
+        # predictor latent must match; use default 128 coarse latent instead
+        cfg = VT.VGGSfMTrackerConfig(
+            coarse=VT.VGGSfMPredictorConfig(stride=4, depth=2, corr_levels=3,
+                                            corr_radius=2, hidden_size=64),
+            fine=cfg.fine, pradius=7, fine_iters=2,
+        )
+        p = VT.init_vggsfm_tracker(jax.random.PRNGKey(0), cfg)
+        B, S, H, W, N = 1, 3, 64, 64, 6
+        images = jnp.asarray(rng.uniform(size=(B, S, H, W, 3)).astype(np.float32))
+        qp = jnp.asarray(rng.uniform(12, 50, size=(B, N, 2)).astype(np.float32))
+        fine, coarse, vis = VT.track(p, images, qp, cfg, coarse_iters=2)
+        assert fine.shape == (B, S, N, 2) and vis.shape == (B, S, N)
+        np.testing.assert_allclose(np.asarray(fine[:, 0]), np.asarray(coarse[:, 0]),
+                                   atol=1e-4)
+        assert np.isfinite(np.asarray(fine)).all()
