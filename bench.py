@@ -77,6 +77,18 @@ def main():
         flops = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops = float("nan")
+    # XLA's cost analysis cannot see inside Pallas kernels: add the analytic
+    # attention FLOPs (4*B*H*Nq*Nk*d per site; reloc counted dense-equivalent)
+    S = NUM_FRAMES
+    P = (IMG // 14) ** 2 + 5
+    R5 = RANK + 5
+    per_frame_attn = 4 * 16 * P * P * 64
+    flash_flops = (
+        24 * 2 * S * per_frame_attn            # ViT + frame attention
+        + 24 * 4 * 16 * (S * P) ** 2 * 64      # global attention
+        + 24 * 4 * 16 * (S * P) * (S * R5 + S * P) * 64  # reloc attention
+    )
+    flops = flops + flash_flops
 
     for _ in range(WARMUP):
         float(compiled(params, images, key))

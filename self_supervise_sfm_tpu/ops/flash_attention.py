@@ -12,8 +12,9 @@ for the hot attention sites. Design (see /opt/skills/guides/pallas_guide.md):
   fully-masked tiles are skipped via ``pl.when`` — the anchor/query structure
   makes ~(Q-1)/Q of the query-query tiles dead (SURVEY §7.2).
 - fp32 softmax state, bf16 QK^T inputs on the MXU.
-- backward: dense recompute under ``jax.custom_vjp`` (flash backward kernels
-  are a later optimisation; training shapes fit the dense path).
+- full flash backward: the forward saves per-row log-sum-exp; dq and dk/dv
+  kernels recompute p tile-wise (same functional masks + tile skipping) —
+  O(N) memory end to end under ``jax.custom_vjp``.
 
 Off-TPU (tests), kernels run in Pallas interpret mode for bit-accurate
 semantics checks against the dense reference.
@@ -41,7 +42,7 @@ def _cdiv(a, b):
 
 
 def _kernel(
-    q_ref, k_ref, v_ref, o_ref,
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, sm_scale, mask: Optional[RelocMask], nk_valid, bq, bk, d,
 ):
@@ -97,6 +98,8 @@ def _kernel(
         l = l_scratch[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        # log-sum-exp per row, saved for the backward kernels
+        lse_ref[0] = m_scratch[:, 0:1] + jnp.log(l_safe)
 
 
 def _flash_fwd(
@@ -122,7 +125,7 @@ def _flash_fwd(
     kernel = functools.partial(
         _kernel, sm_scale=sm_scale, mask=mask, nk_valid=Nk, bq=bq, bk=bk, d=d
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -130,8 +133,14 @@ def _flash_fwd(
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, nq_pad, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, nq_pad, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -139,36 +148,205 @@ def _flash_fwd(
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :Nq]
+    return out[:, :Nq], lse[:, :Nq, 0]
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    acc_scratch,
+    *, sm_scale, mask: Optional[RelocMask], nk_valid, bq, bk, d,
+):
+    """dq = sum_k  ds @ k * scale, ds = p * (do @ v^T - D).
+
+    Grid (BH, nq_tiles, nk_tiles): k innermost, dq accumulated in scratch.
+    """
+    ki = pl.program_id(2)
+    nk_tiles = pl.num_programs(2)
+    qi = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q0 = qi * bq
+    k0 = ki * bk
+    if mask is not None:
+        visible = mask.block_visible(q0, q0 + bq, k0, k0 + bk) & (k0 < nk_valid)
+    else:
+        visible = k0 < nk_valid
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        allowed = k_idx < nk_valid
+        if mask is not None:
+            q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            allowed &= mask.allowed(q_idx, k_idx)
+        lse = lse_ref[0]  # (bq, 1)
+        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
+        dov = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dov - delta_ref[0]) * sm_scale
+        acc_scratch[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk_tiles - 1)
+    def _finalize():
+        dq_ref[0] = acc_scratch[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, sm_scale, mask: Optional[RelocMask], nk_valid, bq, bk, d,
+):
+    """dk = sum_q ds^T @ q * scale;  dv = sum_q p^T @ do.
+
+    Grid (BH, nk_tiles, nq_tiles): q innermost, dk/dv accumulated in scratch.
+    """
+    qi = pl.program_id(2)
+    nq_tiles = pl.num_programs(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q0 = qi * bq
+    k0 = ki * bk
+    if mask is not None:
+        visible = mask.block_visible(q0, q0 + bq, k0, k0 + bk) & (k0 < nk_valid)
+    else:
+        visible = k0 < nk_valid
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        allowed = k_idx < nk_valid
+        if mask is not None:
+            q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            allowed &= mask.allowed(q_idx, k_idx)
+        lse = lse_ref[0]  # (bq, 1)
+        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)  # (bq, bk)
+        do = do_ref[0]
+        dv_scratch[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, d)
+        dov = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dov - delta_ref[0]) * sm_scale  # (bq, bk)
+        dk_scratch[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, d)
+
+    @pl.when(qi == nq_tiles - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret):
+    BH, Nq, d = q.shape
+    Nk = k.shape[1]
+    sm_scale = 1.0 / (d**0.5)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (BH, Nq, 1)
+    lse = lse[..., None]  # (BH, Nq, 1)
+
+    nq_pad = _cdiv(Nq, bq) * bq
+    nk_pad = _cdiv(Nk, bk) * bk
+    if nq_pad != Nq:
+        pad = ((0, 0), (0, nq_pad - Nq), (0, 0))
+        q = jnp.pad(q, pad)
+        do = jnp.pad(do, pad)
+        lse = jnp.pad(lse, pad)
+        delta = jnp.pad(delta, pad)
+    if nk_pad != Nk:
+        pad = ((0, 0), (0, nk_pad - Nk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    common = dict(sm_scale=sm_scale, mask=mask, nk_valid=Nk, bq=bq, bk=bk, d=d)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        grid=(BH, nq_pad // bq, nk_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, nq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **common),
+        grid=(BH, nk_pad // bk, nq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((BH, nk_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq[:, :Nq], dk[:, :Nk], dv[:, :Nk]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_mha(q, k, v, mask, bq, bk, interpret):
-    return _flash_fwd(q, k, v, mask, bq, bk, interpret)
+    out, _ = _flash_fwd(q, k, v, mask, bq, bk, interpret)
+    return out
 
 
 def _flash_mha_fwd(q, k, v, mask, bq, bk, interpret):
-    out = _flash_fwd(q, k, v, mask, bq, bk, interpret)
-    return out, (q, k, v)
-
-
-def _dense_ref(q, k, v, mask: Optional[RelocMask]):
-    scale = 1.0 / (q.shape[-1] ** 0.5)
-    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        s = jnp.where(mask.materialize()[0], s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum(
-        "bqk,bkd->bqd", p.astype(q.dtype), v, preferred_element_type=jnp.float32
-    ).astype(q.dtype)
+    out, lse = _flash_fwd(q, k, v, mask, bq, bk, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_mha_bwd(mask, bq, bk, interpret, res, g):
-    # dense recompute backward: correct and simple; flash backward kernels are
-    # a planned optimisation (training shapes fit the dense path under remat)
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _dense_ref(q, k, v, mask), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, g, mask, bq, bk, interpret)
+    return dq, dk, dv
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
