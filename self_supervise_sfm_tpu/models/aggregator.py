@@ -72,6 +72,11 @@ class AggregatorConfig:
     compute_dtype: str = "float32"  # trunk dtype; taps are returned in fp32
     remat: bool = False
     attn_impl: str = "auto"
+    # attention impl for the unmasked global-attention site only: "ring"
+    # switches to shard_map ring attention (ops/ring_attention.py) when a mesh
+    # with context extent > 1 is active, keeping K/V sharded across devices
+    # instead of all-gathered.
+    global_attn_impl: str = "auto"
 
     @property
     def patch_start_idx(self) -> int:
@@ -91,6 +96,18 @@ class AggregatorConfig:
             ln_eps=1e-5,
             init_values=self.init_values,
             attn_impl=self.attn_impl,
+        )
+
+    @property
+    def global_block_cfg(self) -> BlockConfig:
+        return BlockConfig(
+            dim=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qk_norm=self.qk_norm,
+            ln_eps=1e-5,
+            init_values=self.init_values,
+            attn_impl=self.global_attn_impl,
         )
 
     @property
@@ -283,6 +300,7 @@ def aggregator_forward(
     t_query = _tile_tables(t_frame, Q)
     mask_reloc = _reloc_allow_mask(A * R5, Q, Ptok)
     bcfg = cfg.block_cfg
+    bcfg_g = cfg.global_block_cfg
 
     def layer(tokens, fp, gp, rp, idx_l):
         # 1. frame attention — frames sharded over (data x context)
@@ -307,10 +325,11 @@ def aggregator_forward(
         )
         reloc_out = q.reshape(B, Q, Ptok, C)
         # 4. global attention — the long (A*P) token axis is context-sharded
-        # (sequence parallelism; XLA inserts the KV all-gather over ICI)
+        # (sequence parallelism; KV all-gathered by XLA, or kept sharded and
+        # ring-rotated when cfg.global_attn_impl == "ring")
         g = anchors.reshape(B, A * Ptok, C)
         g = constrain(g, DATA_AXIS, CONTEXT_AXIS, None)
-        g = block(gp, g, bcfg, t_global)
+        g = block(gp, g, bcfg_g, t_global)
         global_out = g.reshape(B, A, Ptok, C)
 
         new_tokens = jnp.concatenate([global_out, reloc_out], axis=1)
@@ -398,6 +417,7 @@ def aggregator_build_cache(
     t_frame = _rope_tables_frame(cfg, gh, gw)
     t_global = _tile_tables(t_frame, A)
     bcfg = cfg.block_cfg
+    bcfg_g = cfg.global_block_cfg
 
     def layer(tokens, fp, gp, rp, idx_l):
         t = tokens.reshape(B * A, Ptok, C)
@@ -410,7 +430,7 @@ def aggregator_build_cache(
         down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
         kv = block_context_kv(rp, down, bcfg, (down_cos, down_sin))
         g = constrain(t.reshape(B, A * Ptok, C), DATA_AXIS, CONTEXT_AXIS, None)
-        g = block(gp, g, bcfg, t_global)
+        g = block(gp, g, bcfg_g, t_global)
         global_out = g.reshape(B, A, Ptok, C)
         return global_out, frame_out, global_out, kv
 

@@ -69,6 +69,7 @@ def make_config(
     compute_dtype: str = "float32",
     remat: bool = False,
     attn_impl: str = "auto",
+    global_attn_impl: str = "auto",
 ) -> SailReconConfig:
     """Build a consistent config tree (flagship defaults = the reference's
     ViT-L/14 @ 518 with 24 aggregator layers)."""
@@ -93,6 +94,7 @@ def make_config(
         compute_dtype=compute_dtype,
         remat=remat,
         attn_impl=attn_impl,
+        global_attn_impl=global_attn_impl,
     )
     head_kw = dict(
         dim_in=2 * embed_dim,

@@ -64,6 +64,14 @@ def sdpa(
     """
     if impl == "dense":
         return sdpa_dense(q, k, v, mask)
+    if impl == "ring":
+        from ..parallel.sharding import active_mesh
+        from . import ring_attention as ra
+
+        mesh = active_mesh()
+        if ra.ring_applicable(q, mesh, mask):
+            return ra.ring_sdpa(q, k, v, mesh)
+        impl = "auto"  # single-device / non-dividing: regular paths
     if impl in ("flash", "auto"):
         from . import flash_attention as fa
 

@@ -264,13 +264,19 @@ def _dkv_kernel(
         dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret):
+def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret, dlse=None):
     BH, Nq, d = q.shape
     Nk = k.shape[1]
     sm_scale = 1.0 / (d**0.5)
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # (BH, Nq, 1)
+    if dlse is not None:
+        # d lse_i / d s_ij = p_ij, so a cotangent on lse adds p_ij * dlse_i to
+        # ds — algebraically ds = p*(dov - (delta - dlse)), i.e. the existing
+        # kernels absorb it by shifting delta. Used by ring attention, whose
+        # cross-device softmax merge differentiates through the per-chunk lse.
+        delta = delta - dlse.astype(jnp.float32)[..., None]
     lse = lse[..., None]  # (BH, Nq, 1)
 
     nq_pad = _cdiv(Nq, bq) * bq
@@ -352,6 +358,34 @@ def _flash_mha_bwd(mask, bq, bk, interpret, res, g):
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_mha_lse(q, k, v, mask, bq, bk, interpret):
+    """Like ``_flash_mha`` but also returns per-row log-sum-exp.
+
+    The lse output is a first-class differentiable value (its cotangent is
+    folded into the delta term of the backward kernels) so callers may combine
+    partial softmaxes across devices — the ring-attention merge.
+    """
+    return _flash_fwd(q, k, v, mask, bq, bk, interpret)
+
+
+def _flash_mha_lse_fwd(q, k, v, mask, bq, bk, interpret):
+    out, lse = _flash_fwd(q, k, v, mask, bq, bk, interpret)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _flash_mha_lse_bwd(mask, bq, bk, interpret, res, g):
+    q, k, v, o, lse = res
+    do, dlse = g
+    dq, dk, dv = _flash_bwd(
+        q, k, v, o, lse, do, mask, bq, bk, interpret, dlse=dlse
+    )
+    return dq, dk, dv
+
+
+_flash_mha_lse.defvjp(_flash_mha_lse_fwd, _flash_mha_lse_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public API (consumed by ops.attention_core.sdpa)
 # ---------------------------------------------------------------------------
@@ -406,3 +440,33 @@ def flash_attention(
         mask, bq, bk, interpret,
     )
     return out.reshape(B, H, Nq, d)
+
+
+def flash_attention_lse(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    mask: Optional[RelocMask] = None,
+    bq: Optional[int] = None,
+    bk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """(B, H, Nq, d) x (B, H, Nk, d)^2 -> ((B, H, Nq, d), (B, H, Nq) fp32 lse).
+
+    The partial-softmax form consumed by ring attention: ``out`` is the
+    softmax-normalised value over the *given* keys and ``lse`` the per-row
+    log-normaliser, so outputs over disjoint key chunks can be merged exactly.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, Nq, d = q.shape
+    Nk = k.shape[2]
+    bq = bq or _auto_block(Nq)
+    bk = bk or _auto_block(Nk)
+    bq = int(min(bq, _cdiv(max(128, Nq), 8) * 8))
+    bk = int(min(bk, _cdiv(max(128, Nk), 8) * 8))
+    out, lse = _flash_mha_lse(
+        q.reshape(B * H, Nq, d),
+        k.reshape(B * H, Nk, d),
+        v.reshape(B * H, Nk, d),
+        mask, bq, bk, interpret,
+    )
+    return out.reshape(B, H, Nq, d), lse.reshape(B, H, Nq)
