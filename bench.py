@@ -46,16 +46,18 @@ def main():
     params = jax.jit(lambda k: M.init_sailrecon(k, cfg))(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.uniform(size=(1, 2 * NUM_FRAMES, IMG, IMG, 3)).astype(np.float32)
-    )
+    # the reference inference layout: the scene's frames duplicated into
+    # anchors + queries (train/demo_imc_forward.py:76-101) — which lets the
+    # ViT patch embed run once per unique image (images_duplicated=True)
+    uniq = rng.uniform(size=(1, NUM_FRAMES, IMG, IMG, 3)).astype(np.float32)
+    images = jnp.asarray(np.concatenate([uniq, uniq], axis=1))
     key = jax.random.PRNGKey(1)
 
     def fn(params, images, key):
         preds = M.forward(
             params, cfg, images,
             num_anchor=NUM_FRAMES, num_query=NUM_FRAMES,
-            rank=RANK, subsample_key=key,
+            rank=RANK, subsample_key=key, images_duplicated=True,
         )
         # scalar checksum over every dense output: fetching it on the host is
         # the synchronisation point (block_until_ready is unreliable through
@@ -84,7 +86,8 @@ def main():
     R5 = RANK + 5
     per_frame_attn = 4 * 16 * P * P * 64
     flash_flops = (
-        24 * 2 * S * per_frame_attn            # ViT + frame attention
+        24 * S * per_frame_attn                # ViT (dedup: S unique frames)
+        + 24 * 2 * S * per_frame_attn          # frame attention (2S frames)
         + 24 * 4 * 16 * (S * P) ** 2 * 64      # global attention
         + 24 * 4 * 16 * (S * P) * (S * R5 + S * P) * 64  # reloc attention
     )

@@ -150,18 +150,39 @@ def _normalize_images(images: jax.Array) -> jax.Array:
     return (images - mean) / std
 
 
-def _embed_frames(p, cfg: AggregatorConfig, images: jax.Array, is_query: jax.Array):
+def _embed_frames(
+    p, cfg: AggregatorConfig, images: jax.Array, is_query: jax.Array,
+    duplicated: bool = False,
+):
     """images (B, S, H, W, 3) -> tokens (B, S, P, C), P = patches + specials.
 
     ``is_query``: static bool array (S,) — query frames get the reloc
     camera/register tokens; anchor frame 0 gets token index 0, other anchors
     index 1 (slice_expand_and_flatten semantics, ``aggregator.py:806-829``).
+
+    ``duplicated``: the inference entry points duplicate each image into an
+    anchor copy and a query copy (``train/demo_imc_forward.py:76-101``,
+    ``train/train_imc.py:107-139``). The two copies differ only in their
+    special tokens — the ViT patch tokens are identical — so with
+    ``duplicated=True`` (requires S even, frames [a_0..a_{n-1}, q_0..q_{n-1}]
+    with q_i the same image as a_i) the ViT runs once per unique image and
+    its patch tokens are reused for both copies: same math at half the
+    patch-embed FLOPs (outputs agree to fp tolerance; XLA reduction order
+    differs with the smaller batch).
     """
     B, S, H, W, _ = images.shape
-    x = _normalize_images(images).reshape(B * S, H, W, 3)
+    if duplicated:
+        assert S % 2 == 0
+        images = images[:, : S // 2]
+    Su = images.shape[1]
+    x = _normalize_images(images).reshape(B * Su, H, W, 3)
     vit_out = vit_forward(p["vit"], x, cfg.vit, compute_dtype=cfg.dtype)
-    patch_tokens = vit_out["x_norm_patchtokens"]  # (B*S, P0, C)
+    patch_tokens = vit_out["x_norm_patchtokens"]  # (B*Su, P0, C)
     P0 = patch_tokens.shape[1]
+    if duplicated:
+        patch_tokens = jnp.concatenate(
+            [patch_tokens.reshape(B, Su, P0, -1)] * 2, axis=1
+        ).reshape(B * S, P0, -1)
     C = cfg.embed_dim
 
     cam_anchor = jnp.concatenate(
@@ -266,6 +287,7 @@ def aggregator_forward(
     rank: int,
     subsample_key: Optional[jax.Array] = None,
     subsample_indices: Optional[jax.Array] = None,
+    images_duplicated: bool = False,
 ) -> Tuple[Dict[int, jax.Array], int, jax.Array]:
     """Joint anchors+queries forward.
 
@@ -274,6 +296,9 @@ def aggregator_forward(
         num_anchor / num_query: static frame counts (Q >= 1).
         rank: static scene-token rank (300 at every reference call site).
         subsample_key: PRNG key driving the per-layer token subsampling.
+        images_duplicated: promise that queries are the same images as the
+            anchors (the standard inference layout) — the ViT patch embed
+            then runs once per unique image (see ``_embed_frames``).
 
     Returns:
         (taps, patch_start_idx, cam_token_last_layer) where taps maps layer
@@ -286,8 +311,10 @@ def aggregator_forward(
     assert S == A + Q and Q >= 1
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
 
+    if images_duplicated:
+        assert A == Q, "duplicated layout requires anchors == queries"
     is_query = jnp.asarray([False] * A + [True] * Q)
-    tokens, P0 = _embed_frames(p, cfg, images, is_query)
+    tokens, P0 = _embed_frames(p, cfg, images, is_query, images_duplicated)
     C = cfg.embed_dim
     Ptok = P0 + cfg.patch_start_idx
     rank = min(rank, P0)

@@ -160,8 +160,13 @@ def forward(
     rank: int = 300,
     subsample_key: Optional[jax.Array] = None,
     subsample_indices: Optional[jax.Array] = None,
+    images_duplicated: bool = False,
 ) -> Dict[str, jax.Array]:
     """Joint forward. images: (B, A+Q, H, W, 3) NHWC in [0,1], anchors first.
+
+    ``images_duplicated``: promise that frames [A:] repeat frames [:A] (the
+    standard inference layout, ``demo_imc_forward.py:76-101``) — the ViT
+    patch embed then runs once per unique image, exactly.
 
     Returns per-query-frame predictions (leading dims (B, Q)):
     extrinsic (3,4), intrinsic (3,3), point_map (H,W,3), xyz_cnf (H,W),
@@ -178,6 +183,7 @@ def forward(
         rank,
         subsample_key,
         subsample_indices,
+        images_duplicated=images_duplicated,
     )
     return _decode_heads(p, cfg, taps, cam_tok, (H, W), psi)
 

@@ -35,10 +35,21 @@ from .mask_spec import RelocMask
 
 NEG_INF = -1e30
 LANES = 128
+LOG2E = 1.4426950408889634
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _edge_bias(k0, bk, nk_valid):
+    """(1, bk) additive bias masking key columns past ``nk_valid``.
+
+    A row vector + broadcast add costs one VPU pass over the (bq, bk) tile —
+    vs three (iota, compare, select) for the elementwise-predicate form.
+    """
+    kcol = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    return jnp.where(kcol < nk_valid, 0.0, NEG_INF)
 
 
 def _kernel(
@@ -65,24 +76,30 @@ def _kernel(
 
     @pl.when(visible)
     def _compute():
+        # logits are kept in log2 space: the log2(e) factor folds into the
+        # f32 softmax-scale multiply (exact), so exp() on the (bq, bk) tile
+        # becomes the native exp2 with no internal multiply. exp2(s2 - m2) ==
+        # exp(s - m) elementwise, so p/l/acc are bit-identical; only the
+        # saved lse converts back to natural log at finalize.
         q = q_ref[0]  # (bq, d)
         k = k_ref[0]  # (bk, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # (bq, bk)
+        ) * (sm_scale * LOG2E)  # (bq, bk), log2-scaled
 
-        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        allowed = k_idx < nk_valid
         if mask is not None:
+            k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            allowed &= mask.allowed(q_idx, k_idx)
-        s = jnp.where(allowed, s, NEG_INF)
+            allowed = mask.allowed(q_idx, k_idx) & (k_idx < nk_valid)
+            s = jnp.where(allowed, s, NEG_INF)
+        else:
+            s = s + _edge_bias(k0, bk, nk_valid)
 
         m_prev = m_scratch[:, 0:1]  # (bq, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # (bq, bk)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)  # (bq, bk)
         l_new = l_scratch[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
@@ -98,8 +115,8 @@ def _kernel(
         l = l_scratch[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
-        # log-sum-exp per row, saved for the backward kernels
-        lse_ref[0] = m_scratch[:, 0:1] + jnp.log(l_safe)
+        # per-row log-sum-exp in natural log, saved for the backward kernels
+        lse_ref[0] = m_scratch[:, 0:1] * (1.0 / LOG2E) + jnp.log(l_safe)
 
 
 def _flash_fwd(
@@ -177,18 +194,21 @@ def _dq_kernel(
 
     @pl.when(visible)
     def _compute():
+        # p is recomputed in log2 space (see forward): identical values,
+        # native exp2 with the log2(e) factor folded into the f32 scale.
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        allowed = k_idx < nk_valid
+        ) * (sm_scale * LOG2E)
+        lse2 = lse_ref[0] * LOG2E  # (bq, 1) natural -> log2
         if mask is not None:
+            k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            allowed &= mask.allowed(q_idx, k_idx)
-        lse = lse_ref[0]  # (bq, 1)
-        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
+            allowed = mask.allowed(q_idx, k_idx) & (k_idx < nk_valid)
+            p = jnp.where(allowed, jnp.exp2(s - lse2), 0.0)
+        else:
+            p = jnp.exp2(s + _edge_bias(k0, bk, nk_valid) - lse2)
         dov = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -231,18 +251,20 @@ def _dkv_kernel(
 
     @pl.when(visible)
     def _compute():
+        # log2-space p recompute (see forward).
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        allowed = k_idx < nk_valid
+        ) * (sm_scale * LOG2E)
+        lse2 = lse_ref[0] * LOG2E  # (bq, 1)
         if mask is not None:
+            k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            allowed &= mask.allowed(q_idx, k_idx)
-        lse = lse_ref[0]  # (bq, 1)
-        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)  # (bq, bk)
+            allowed = mask.allowed(q_idx, k_idx) & (k_idx < nk_valid)
+            p = jnp.where(allowed, jnp.exp2(s - lse2), 0.0)  # (bq, bk)
+        else:
+            p = jnp.exp2(s + _edge_bias(k0, bk, nk_valid) - lse2)
         do = do_ref[0]
         dv_scratch[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -409,10 +431,12 @@ def worth_it(q, k, v) -> bool:
 
 
 def _auto_block(n: int) -> int:
-    """Measured-on-v5e tile heuristic: a single padded tile up to 2048 tokens
-    (no cross-tile softmax state traffic), 1024 beyond (VMEM limit; 2048^2
-    tiles fail to compile, 1024 beat 512/768/1536 in the sweep)."""
-    if n <= 2048:
+    """Measured-on-v5e tile heuristic: a single padded tile up to 1536 tokens
+    (no cross-tile softmax state traffic), 1024 beyond. The fp32 (bq, bk)
+    logits tile must fit scoped VMEM (16 MB): 1536^2*4 = 9.4 MB fits with
+    the q/k/v/acc buffers, 2032^2*4 = 16.5 MB does not (observed compile
+    OOM at N=2025); 1024 beat 512/768/1536 in the block sweep."""
+    if n <= 1536:
         return _cdiv(n, 8) * 8
     return 1024
 

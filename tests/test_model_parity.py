@@ -281,3 +281,30 @@ class TestPoseForward:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(intr), np.asarray(full["intrinsic"]),
                                    atol=1e-3)
+
+
+class TestDuplicatedForward:
+    def test_shared_vit_matches_plain(self, rng):
+        """images_duplicated=True (ViT once per unique image) must match the
+        plain forward on the duplicated stack to fp tolerance."""
+        import jax
+        from self_supervise_sfm_tpu.models import sailrecon as SM
+
+        cfg = SM.make_config(
+            img_size=IMG, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+            intermediate_layer_idx=(0, 1, 2, 3), attn_impl="dense",
+        )
+        p = SM.init_sailrecon(jax.random.PRNGKey(0), cfg)
+        uniq = rng.uniform(size=(1, 3, IMG, IMG, 3)).astype(np.float32)
+        imgs = jnp.asarray(np.concatenate([uniq, uniq], axis=1))
+        key = jax.random.PRNGKey(2)
+        kw = dict(num_anchor=3, num_query=3, rank=2, subsample_key=key)
+        a = SM.forward(p, cfg, imgs, **kw)
+        b = SM.forward(p, cfg, imgs, images_duplicated=True, **kw)
+        for name in ("extrinsic", "intrinsic", "depth_map", "point_map"):
+            # rtol dominated by fp32 reduction-order noise amplified through
+            # the exp-activated heads (random weights produce ~1e11 depths)
+            np.testing.assert_allclose(
+                np.asarray(a[name], np.float32), np.asarray(b[name], np.float32),
+                rtol=2e-4, atol=1e-4, err_msg=name,
+            )
