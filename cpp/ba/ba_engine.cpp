@@ -1,5 +1,5 @@
 // Native bundle-adjustment engine: Levenberg-Marquardt with an explicit
-// Schur-complement reduced camera system.
+// Schur-complement reduced camera system, partitionable across hosts.
 //
 // This is the C++ counterpart of the on-TPU solver in
 // self_supervise_sfm_tpu/ops/bundle_adjust.py (the reference delegates BA to
@@ -15,8 +15,19 @@
 //   solved with a dense Cholesky.
 // - Huber IRLS robustness, multiplicative damping with accept/reject.
 //
-// Exposed as a plain C ABI for ctypes (self_supervise_sfm_tpu/native/ba.py).
-// No external dependencies.
+// Distribution model (SURVEY.md §7.1 step 10): observations are partitioned
+// by POINT — a point's whole track lives on one worker, so the 3x3 point
+// elimination is worker-local and each worker contributes an additive
+// partial (S_w, rhs_w, cost_w) to the shared 6C x 6C reduced camera system.
+// The engine exposes exactly that phase structure as a C ABI
+// (ba_shard_create / ba_shard_linearize / ba_shard_trial_cost /
+// ba_shard_accept ...); the *reduction* of the partials and the LM control
+// loop live in the caller (self_supervise_sfm_tpu/native/ba.py), which sums
+// locally for single-host runs and via jax collectives (psum over the device
+// mesh, riding ICI) for multi-host runs. ba_solve() keeps the one-call
+// single-host API and is implemented as the 1-shard special case.
+//
+// Exposed as a plain C ABI for ctypes. No external dependencies.
 
 #include <cmath>
 #include <cstdint>
@@ -24,12 +35,6 @@
 #include <vector>
 
 namespace {
-
-struct V3 { double x, y, z; };
-
-inline V3 cross(const V3& a, const V3& b) {
-  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
-}
 
 // Rodrigues: axis-angle -> 3x3 row-major rotation.
 void aa_to_R(const double* aa, double* R) {
@@ -116,29 +121,45 @@ bool chol_solve(std::vector<double>& A, std::vector<double>& b, int n) {
   return true;
 }
 
-struct Problem {
+// One worker's slice of the problem: all cameras (shared, small), a shard of
+// the points and every observation of those points.
+struct Shard {
   int C, P, O;
-  double* cam;           // (C, 6) aa + t (in/out)
-  const double* K;       // (C, 4) fx fy cx cy
-  double* pts;           // (P, 3) (in/out)
-  const int32_t* cam_idx;
-  const int32_t* pt_idx;
-  const double* uv;      // (O, 2)
-  const double* w;       // (O,)
+  std::vector<double> K;        // (C, 4) fx fy cx cy
+  std::vector<double> pts;      // (P, 3) current
+  std::vector<double> pts_trial;  // (P, 3) candidate from last trial
+  std::vector<int32_t> cam_idx, pt_idx;
+  std::vector<double> uv, w;    // (O, 2), (O,)
+  double huber;
+
+  // per-point observation lists
+  std::vector<int> pt_start, pt_obs;
+
+  // linearization state consumed by trial() (valid after linearize())
+  std::vector<double> Jc_all, Jp_all, r_all;  // (O,12), (O,6), (O,2)
+  std::vector<double> Vinv, bp;               // (P,9), (P,3)
+
+  std::vector<double> Rcache;  // (C, 9) for the cams of the last linearize
 };
 
-// residual + jacobians for one observation.
+void build_R_cache(const double* cam, int C, std::vector<double>& Rcache) {
+  Rcache.resize(9 * C);
+  for (int c = 0; c < C; c++) aa_to_R(cam + 6 * c, Rcache.data() + 9 * c);
+}
+
+// residual + jacobians for one observation against explicit (cam, pts).
 // camera update is LOCAL: R <- exp(dw) R, t <- t + dt, so
 //   pc = R X + t,  d pc/d dw = -[pc - t]_x,  d pc/d dt = I,  d pc/d X = R.
-void obs_jacobian(const Problem& pb, int o, const double* Rcache,
+void obs_jacobian(const Shard& sh, const double* cam, const double* pts,
+                  const double* Rcache, int o,
                   double r[2], double Jc[2][6], double Jp[2][3],
                   bool want_jac) {
-  int c = pb.cam_idx[o], p = pb.pt_idx[o];
+  int c = sh.cam_idx[o], p = sh.pt_idx[o];
   const double* R = Rcache + 9 * c;
-  const double* t = pb.cam + 6 * c + 3;
-  const double* X = pb.pts + 3 * p;
-  const double* Kc = pb.K + 4 * c;
-  double wgt = pb.w[o];
+  const double* t = cam + 6 * c + 3;
+  const double* X = pts + 3 * p;
+  const double* Kc = sh.K.data() + 4 * c;
+  double wgt = sh.w[o];
 
   double pc[3];
   for (int i = 0; i < 3; i++)
@@ -147,8 +168,8 @@ void obs_jacobian(const Problem& pb, int o, const double* Rcache,
   double invz = 1.0 / z;
   double u = Kc[0] * pc[0] * invz + Kc[2];
   double v = Kc[1] * pc[1] * invz + Kc[3];
-  r[0] = (u - pb.uv[2 * o + 0]) * wgt;
-  r[1] = (v - pb.uv[2 * o + 1]) * wgt;
+  r[0] = (u - sh.uv[2 * o + 0]) * wgt;
+  r[1] = (v - sh.uv[2 * o + 1]) * wgt;
   if (!want_jac) return;
 
   // d(u,v)/d pc
@@ -168,16 +189,18 @@ void obs_jacobian(const Problem& pb, int o, const double* Rcache,
   }
 }
 
-double total_cost(const Problem& pb, const double* Rcache, double huber) {
+double shard_cost(const Shard& sh, const double* cam, const double* pts) {
+  std::vector<double> Rcache;
+  build_R_cache(cam, sh.C, Rcache);
   double cost = 0;
   double Jc[2][6], Jp[2][3];  // unused (want_jac = false)
-  for (int o = 0; o < pb.O; o++) {
+  for (int o = 0; o < sh.O; o++) {
     double r[2];
-    obs_jacobian(pb, o, Rcache, r, Jc, Jp, false);
+    obs_jacobian(sh, cam, pts, Rcache.data(), o, r, Jc, Jp, false);
     double r2 = r[0] * r[0] + r[1] * r[1];
-    if (huber > 0) {
+    if (sh.huber > 0) {
       double rn = std::sqrt(r2);
-      cost += rn <= huber ? 0.5 * r2 : huber * (rn - 0.5 * huber);
+      cost += rn <= sh.huber ? 0.5 * r2 : sh.huber * (rn - 0.5 * sh.huber);
     } else {
       cost += 0.5 * r2;
     }
@@ -185,211 +208,282 @@ double total_cost(const Problem& pb, const double* Rcache, double huber) {
   return cost;
 }
 
-void build_R_cache(const Problem& pb, std::vector<double>& Rcache) {
-  Rcache.resize(9 * pb.C);
-  for (int c = 0; c < pb.C; c++) aa_to_R(pb.cam + 6 * c, Rcache.data() + 9 * c);
-}
-
-}  // namespace
-
-extern "C" {
-
-// Returns 0 on success. cam_params (C,6), points (P,3) updated in place.
-int ba_solve(int num_cams, int num_pts, int num_obs,
-             double* cam_params, const double* intrinsics4, double* points,
-             const int32_t* cam_idx, const int32_t* pt_idx,
-             const double* uv, const double* weight,
-             int max_iters, double init_lambda, double huber_delta,
-             double* final_cost, int* iters_run) {
-  Problem pb{num_cams, num_pts, num_obs, cam_params, intrinsics4, points,
-             cam_idx, pt_idx, uv, weight};
-  const int C = num_cams, P = num_pts, O = num_obs;
+// Linearize at (cam, current pts) and ACCUMULATE this shard's contribution
+// into the shared reduced system: S += S_w, rhs += rhs_w. Point damping
+// (worker-local) uses `lambda`; the caller adds the camera damping lambda*I
+// ONCE to the reduced diagonal after summing shards. Returns the shard cost
+// at the linearization point.
+double shard_linearize(Shard& sh, const double* cam, double lambda,
+                       double* S, double* rhs) {
+  const int C = sh.C, P = sh.P, O = sh.O;
   const int n = 6 * C;
+  build_R_cache(cam, C, sh.Rcache);
 
-  // observation lists per point for Schur assembly
-  std::vector<int> pt_count(P, 0);
-  for (int o = 0; o < O; o++) pt_count[pt_idx[o]]++;
-  std::vector<int> pt_start(P + 1, 0);
-  for (int p = 0; p < P; p++) pt_start[p + 1] = pt_start[p] + pt_count[p];
-  std::vector<int> pt_obs(O);
-  {
-    std::vector<int> cur(pt_start.begin(), pt_start.end() - 1);
-    for (int o = 0; o < O; o++) pt_obs[cur[pt_idx[o]]++] = o;
-  }
+  sh.Jc_all.assign(O * 12, 0.0);
+  sh.Jp_all.assign(O * 6, 0.0);
+  sh.r_all.assign(O * 2, 0.0);
+  sh.Vinv.assign(P * 9, 0.0);
+  sh.bp.assign(P * 3, 0.0);
+  std::vector<double> Vp(P * 9, 0.0);
+  double cost = 0;
 
-  std::vector<double> Rcache;
-  build_R_cache(pb, Rcache);
-
-  double lambda = init_lambda;
-  double cost = total_cost(pb, Rcache.data(), huber_delta);
-
-  std::vector<double> Jc_all(O * 12), Jp_all(O * 6), r_all(O * 2);
-  std::vector<double> U(C * 36), bc(C * 6), Vp(P * 9), bp(P * 3);
-  std::vector<double> S(n * n), rhs(n);
-  std::vector<double> cam_bak(C * 6), pts_bak(P * 3);
-
-  int it = 0;
-  for (; it < max_iters; it++) {
-    // --- linearize ---
-    std::fill(U.begin(), U.end(), 0.0);
-    std::fill(bc.begin(), bc.end(), 0.0);
-    std::fill(Vp.begin(), Vp.end(), 0.0);
-    std::fill(bp.begin(), bp.end(), 0.0);
-    for (int o = 0; o < O; o++) {
-      double r[2], Jc[2][6], Jp[2][3];
-      obs_jacobian(pb, o, Rcache.data(), r, Jc, Jp, true);
+  for (int o = 0; o < O; o++) {
+    double r[2], Jc[2][6], Jp[2][3];
+    obs_jacobian(sh, cam, sh.pts.data(), sh.Rcache.data(), o, r, Jc, Jp, true);
+    double r2 = r[0] * r[0] + r[1] * r[1];
+    if (sh.huber > 0) {
+      double rn = std::sqrt(r2);
+      cost += rn <= sh.huber ? 0.5 * r2 : sh.huber * (rn - 0.5 * sh.huber);
       // Huber IRLS scaling
-      if (huber_delta > 0) {
-        double rn = std::sqrt(r[0] * r[0] + r[1] * r[1] + 1e-12);
-        double s = rn <= huber_delta ? 1.0 : std::sqrt(huber_delta / rn);
+      double s = rn <= sh.huber ? 1.0 : std::sqrt(sh.huber / std::sqrt(r2 + 1e-12));
+      if (s != 1.0) {
         r[0] *= s; r[1] *= s;
         for (int i = 0; i < 2; i++) {
           for (int j = 0; j < 6; j++) Jc[i][j] *= s;
           for (int j = 0; j < 3; j++) Jp[i][j] *= s;
         }
       }
-      std::memcpy(&Jc_all[o * 12], Jc, sizeof(Jc));
-      std::memcpy(&Jp_all[o * 6], Jp, sizeof(Jp));
-      r_all[o * 2] = r[0]; r_all[o * 2 + 1] = r[1];
-      int c = cam_idx[o], p = pt_idx[o];
-      for (int i = 0; i < 6; i++) {
-        for (int j = 0; j < 6; j++)
-          U[c * 36 + i * 6 + j] += Jc[0][i] * Jc[0][j] + Jc[1][i] * Jc[1][j];
-        bc[c * 6 + i] += Jc[0][i] * r[0] + Jc[1][i] * r[1];
-      }
-      for (int i = 0; i < 3; i++) {
+    } else {
+      cost += 0.5 * r2;
+    }
+    std::memcpy(&sh.Jc_all[o * 12], Jc, sizeof(Jc));
+    std::memcpy(&sh.Jp_all[o * 6], Jp, sizeof(Jp));
+    sh.r_all[o * 2] = r[0]; sh.r_all[o * 2 + 1] = r[1];
+    int c = sh.cam_idx[o], p = sh.pt_idx[o];
+    // U blocks go straight into the shared S diagonal
+    for (int i = 0; i < 6; i++) {
+      for (int j = 0; j < 6; j++)
+        S[(c * 6 + i) * n + c * 6 + j] += Jc[0][i] * Jc[0][j] + Jc[1][i] * Jc[1][j];
+      rhs[c * 6 + i] -= Jc[0][i] * r[0] + Jc[1][i] * r[1];
+    }
+    for (int i = 0; i < 3; i++) {
+      for (int j = 0; j < 3; j++)
+        Vp[p * 9 + i * 3 + j] += Jp[0][i] * Jp[0][j] + Jp[1][i] * Jp[1][j];
+      sh.bp[p * 3 + i] += Jp[0][i] * r[0] + Jp[1][i] * r[1];
+    }
+  }
+
+  for (int p = 0; p < P; p++) {
+    double Vl[9];
+    std::memcpy(Vl, &Vp[p * 9], sizeof(Vl));
+    for (int i = 0; i < 3; i++) Vl[i * 3 + i] += lambda + 1e-12;
+    if (!inv3(Vl, &sh.Vinv[p * 9])) {
+      std::memset(&sh.Vinv[p * 9], 0, 9 * sizeof(double));
+    }
+  }
+
+  // Schur: S -= W_a V^-1 W_b^T, rhs += W V^-1 bp, per point of this shard
+  std::vector<double> Wblk;  // per obs 6x3
+  for (int p = 0; p < P; p++) {
+    int k0 = sh.pt_start[p], k1 = sh.pt_start[p + 1];
+    int kp = k1 - k0;
+    if (kp == 0) continue;
+    Wblk.assign(kp * 18, 0.0);
+    const double* Vi = &sh.Vinv[p * 9];
+    const double* bpp = &sh.bp[p * 3];
+    double Vb[3];  // V^-1 bp
+    for (int i = 0; i < 3; i++)
+      Vb[i] = Vi[i * 3] * bpp[0] + Vi[i * 3 + 1] * bpp[1] + Vi[i * 3 + 2] * bpp[2];
+    for (int k = 0; k < kp; k++) {
+      int o = sh.pt_obs[k0 + k];
+      const double* Jc = &sh.Jc_all[o * 12];
+      const double* Jp = &sh.Jp_all[o * 6];
+      double* Wk = &Wblk[k * 18];
+      for (int i = 0; i < 6; i++)
         for (int j = 0; j < 3; j++)
-          Vp[p * 9 + i * 3 + j] += Jp[0][i] * Jp[0][j] + Jp[1][i] * Jp[1][j];
-        bp[p * 3 + i] += Jp[0][i] * r[0] + Jp[1][i] * r[1];
+          Wk[i * 3 + j] = Jc[0 * 6 + i] * Jp[0 * 3 + j] + Jc[1 * 6 + i] * Jp[1 * 3 + j];
+      int c = sh.cam_idx[o];
+      for (int i = 0; i < 6; i++) {
+        double s = 0;
+        for (int j = 0; j < 3; j++) s += Wk[i * 3 + j] * Vb[j];
+        rhs[c * 6 + i] += s;
       }
     }
+    for (int a = 0; a < kp; a++) {
+      int ca = sh.cam_idx[sh.pt_obs[k0 + a]];
+      const double* Wa = &Wblk[a * 18];
+      double WaVi[18];  // 6x3
+      for (int i = 0; i < 6; i++)
+        for (int j = 0; j < 3; j++) {
+          double s = 0;
+          for (int k = 0; k < 3; k++) s += Wa[i * 3 + k] * Vi[k * 3 + j];
+          WaVi[i * 3 + j] = s;
+        }
+      for (int b = 0; b < kp; b++) {
+        int cb = sh.cam_idx[sh.pt_obs[k0 + b]];
+        const double* Wb = &Wblk[b * 18];
+        for (int i = 0; i < 6; i++)
+          for (int j = 0; j < 6; j++) {
+            double s = 0;
+            for (int k = 0; k < 3; k++) s += WaVi[i * 3 + k] * Wb[j * 3 + k];
+            S[(ca * 6 + i) * n + cb * 6 + j] -= s;
+          }
+      }
+    }
+  }
+  return cost;
+}
 
-    // --- assemble damped Schur system ---
+// Back-substitute the camera step into this shard's points (into pts_trial)
+// and return the shard cost at (cam_new, pts_trial).
+double shard_trial(Shard& sh, const double* cam_new, const double* dc) {
+  sh.pts_trial = sh.pts;
+  for (int p = 0; p < sh.P; p++) {
+    double acc[3] = {-sh.bp[p * 3], -sh.bp[p * 3 + 1], -sh.bp[p * 3 + 2]};
+    for (int k = sh.pt_start[p]; k < sh.pt_start[p + 1]; k++) {
+      int o = sh.pt_obs[k];
+      int c = sh.cam_idx[o];
+      const double* Jc = &sh.Jc_all[o * 12];
+      const double* Jp = &sh.Jp_all[o * 6];
+      double W[18];
+      for (int i = 0; i < 6; i++)
+        for (int j = 0; j < 3; j++)
+          W[i * 3 + j] = Jc[i] * Jp[j] + Jc[6 + i] * Jp[3 + j];
+      for (int j = 0; j < 3; j++) {
+        double s = 0;
+        for (int i = 0; i < 6; i++) s += W[i * 3 + j] * dc[c * 6 + i];
+        acc[j] -= s;
+      }
+    }
+    const double* Vi = &sh.Vinv[p * 9];
+    for (int i = 0; i < 3; i++)
+      sh.pts_trial[p * 3 + i] +=
+          Vi[i * 3] * acc[0] + Vi[i * 3 + 1] * acc[1] + Vi[i * 3 + 2] * acc[2];
+  }
+  return shard_cost(sh, cam_new, sh.pts_trial.data());
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Sharded (multi-host) API. pt_idx is LOCAL to the shard (0..num_pts-1);
+// cam_idx is GLOBAL (all workers share the camera set).
+// ---------------------------------------------------------------------------
+
+void* ba_shard_create(int num_cams, int num_pts, int num_obs,
+                      const double* intrinsics4, const double* points,
+                      const int32_t* cam_idx, const int32_t* pt_idx,
+                      const double* uv, const double* weight,
+                      double huber_delta) {
+  Shard* sh = new Shard();
+  sh->C = num_cams; sh->P = num_pts; sh->O = num_obs;
+  sh->K.assign(intrinsics4, intrinsics4 + 4 * num_cams);
+  sh->pts.assign(points, points + 3 * num_pts);
+  sh->cam_idx.assign(cam_idx, cam_idx + num_obs);
+  sh->pt_idx.assign(pt_idx, pt_idx + num_obs);
+  sh->uv.assign(uv, uv + 2 * num_obs);
+  sh->w.assign(weight, weight + num_obs);
+  sh->huber = huber_delta;
+  // per-point observation lists
+  std::vector<int> cnt(num_pts, 0);
+  for (int o = 0; o < num_obs; o++) cnt[pt_idx[o]]++;
+  sh->pt_start.assign(num_pts + 1, 0);
+  for (int p = 0; p < num_pts; p++) sh->pt_start[p + 1] = sh->pt_start[p] + cnt[p];
+  sh->pt_obs.resize(num_obs);
+  std::vector<int> cur(sh->pt_start.begin(), sh->pt_start.end() - 1);
+  for (int o = 0; o < num_obs; o++) sh->pt_obs[cur[pt_idx[o]]++] = o;
+  return sh;
+}
+
+void ba_shard_destroy(void* h) { delete static_cast<Shard*>(h); }
+
+// Accumulates into caller-zeroed S (6C x 6C) and rhs (6C); returns cost.
+double ba_shard_linearize(void* h, const double* cam, double lambda,
+                          double* S, double* rhs) {
+  return shard_linearize(*static_cast<Shard*>(h), cam, lambda, S, rhs);
+}
+
+// Back-substitute dc into trial points; returns shard cost at the trial.
+double ba_shard_trial(void* h, const double* cam_new, const double* dc) {
+  return shard_trial(*static_cast<Shard*>(h), cam_new, dc);
+}
+
+void ba_shard_accept(void* h) {
+  Shard* sh = static_cast<Shard*>(h);
+  sh->pts = sh->pts_trial;
+}
+
+void ba_shard_get_points(void* h, double* out) {
+  Shard* sh = static_cast<Shard*>(h);
+  std::memcpy(out, sh->pts.data(), sh->pts.size() * sizeof(double));
+}
+
+double ba_shard_cost(void* h, const double* cam) {
+  Shard* sh = static_cast<Shard*>(h);
+  return shard_cost(*sh, cam, sh->pts.data());
+}
+
+// Dense SPD solve of the (damped) reduced system: x = (S + lambda I)^-1 rhs.
+// Returns 0 on success, 1 if the Cholesky fails (caller raises lambda).
+int ba_solve_reduced(const double* S, const double* rhs, int n, double lambda,
+                     double* dx) {
+  std::vector<double> A(S, S + (size_t)n * n);
+  std::vector<double> b(rhs, rhs + n);
+  for (int i = 0; i < n; i++) A[i * n + i] += lambda;
+  if (!chol_solve(A, b, n)) return 1;
+  std::memcpy(dx, b.data(), n * sizeof(double));
+  return 0;
+}
+
+// Apply a local so(3) step to the cameras: R <- exp(dw) R, t += dt.
+void ba_apply_cam_step(const double* cam, const double* dc, int C,
+                       double* cam_out) {
+  for (int c = 0; c < C; c++) {
+    double dR[9], Rold[9], Rnew[9];
+    aa_to_R(dc + c * 6, dR);
+    aa_to_R(cam + 6 * c, Rold);
+    matmul3(dR, Rold, Rnew);
+    R_to_aa(Rnew, cam_out + 6 * c);
+    for (int i = 0; i < 3; i++)
+      cam_out[6 * c + 3 + i] = cam[6 * c + 3 + i] + dc[c * 6 + 3 + i];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Single-call API (1-shard special case; LM loop in C).
+// Returns 0 on success. cam_params (C,6), points (P,3) updated in place.
+// ---------------------------------------------------------------------------
+
+int ba_solve(int num_cams, int num_pts, int num_obs,
+             double* cam_params, const double* intrinsics4, double* points,
+             const int32_t* cam_idx, const int32_t* pt_idx,
+             const double* uv, const double* weight,
+             int max_iters, double init_lambda, double huber_delta,
+             double* final_cost, int* iters_run) {
+  void* h = ba_shard_create(num_cams, num_pts, num_obs, intrinsics4, points,
+                            cam_idx, pt_idx, uv, weight, huber_delta);
+  Shard* sh = static_cast<Shard*>(h);
+  const int n = 6 * num_cams;
+  std::vector<double> S((size_t)n * n), rhs(n), dc(n), cam_new(6 * num_cams);
+
+  double lambda = init_lambda;
+  double cost = ba_shard_cost(h, cam_params);
+  int it = 0;
+  for (; it < max_iters; it++) {
     std::fill(S.begin(), S.end(), 0.0);
     std::fill(rhs.begin(), rhs.end(), 0.0);
-    for (int c = 0; c < C; c++) {
-      for (int i = 0; i < 6; i++) {
-        for (int j = 0; j < 6; j++)
-          S[(c * 6 + i) * n + c * 6 + j] = U[c * 36 + i * 6 + j];
-        S[(c * 6 + i) * n + c * 6 + i] += lambda;
-        rhs[c * 6 + i] = -bc[c * 6 + i];
-      }
-    }
-    std::vector<double> Vinv(P * 9);
-    for (int p = 0; p < P; p++) {
-      double Vl[9];
-      std::memcpy(Vl, &Vp[p * 9], sizeof(Vl));
-      for (int i = 0; i < 3; i++) Vl[i * 3 + i] += lambda + 1e-12;
-      if (!inv3(Vl, &Vinv[p * 9])) {
-        std::memset(&Vinv[p * 9], 0, 9 * sizeof(double));
-      }
-    }
-    // per point: W_i = sum_{obs of (c_i, p)} Jc^T Jp   (2x6)^T (2x3) = 6x3
-    std::vector<double> Wblk;  // per obs 6x3
-    for (int p = 0; p < P; p++) {
-      int k0 = pt_start[p], k1 = pt_start[p + 1];
-      int kp = k1 - k0;
-      if (kp == 0) continue;
-      Wblk.assign(kp * 18, 0.0);
-      double Vb[3];  // V^-1 bp
-      const double* Vi = &Vinv[p * 9];
-      const double* bpp = &bp[p * 3];
-      for (int i = 0; i < 3; i++)
-        Vb[i] = Vi[i * 3] * bpp[0] + Vi[i * 3 + 1] * bpp[1] + Vi[i * 3 + 2] * bpp[2];
-      for (int k = 0; k < kp; k++) {
-        int o = pt_obs[k0 + k];
-        const double* Jc = &Jc_all[o * 12];
-        const double* Jp = &Jp_all[o * 6];
-        double* Wk = &Wblk[k * 18];
-        for (int i = 0; i < 6; i++)
-          for (int j = 0; j < 3; j++)
-            Wk[i * 3 + j] = Jc[0 * 6 + i] * Jp[0 * 3 + j] + Jc[1 * 6 + i] * Jp[1 * 3 + j];
-        // rhs += W V^-1 bp
-        int c = cam_idx[o];
-        for (int i = 0; i < 6; i++) {
-          double s = 0;
-          for (int j = 0; j < 3; j++) s += Wk[i * 3 + j] * Vb[j];
-          rhs[c * 6 + i] += s;
-        }
-      }
-      // S -= W_a V^-1 W_b^T for all (a, b) pairs of this point
-      for (int a = 0; a < kp; a++) {
-        int ca = cam_idx[pt_obs[k0 + a]];
-        const double* Wa = &Wblk[a * 18];
-        double WaVi[18];  // 6x3
-        for (int i = 0; i < 6; i++)
-          for (int j = 0; j < 3; j++) {
-            double s = 0;
-            for (int k = 0; k < 3; k++) s += Wa[i * 3 + k] * Vi[k * 3 + j];
-            WaVi[i * 3 + j] = s;
-          }
-        for (int b = 0; b < kp; b++) {
-          int cb = cam_idx[pt_obs[k0 + b]];
-          const double* Wb = &Wblk[b * 18];
-          for (int i = 0; i < 6; i++)
-            for (int j = 0; j < 6; j++) {
-              double s = 0;
-              for (int k = 0; k < 3; k++) s += WaVi[i * 3 + k] * Wb[j * 3 + k];
-              S[(ca * 6 + i) * n + cb * 6 + j] -= s;
-            }
-        }
-      }
-    }
-
-    // --- solve + apply ---
-    std::vector<double> Ssolve(S), dc(rhs);
-    if (!chol_solve(Ssolve, dc, n)) {
+    ba_shard_linearize(h, cam_params, lambda, S.data(), rhs.data());
+    if (ba_solve_reduced(S.data(), rhs.data(), n, lambda, dc.data()) != 0) {
       lambda *= 10.0;
       continue;
     }
-    std::memcpy(cam_bak.data(), cam_params, C * 6 * sizeof(double));
-    std::memcpy(pts_bak.data(), points, P * 3 * sizeof(double));
-    // cameras: R <- exp(dw) R, t += dt
-    for (int c = 0; c < C; c++) {
-      double dR[9], Rold[9], Rnew[9];
-      aa_to_R(&dc[c * 6], dR);
-      std::memcpy(Rold, &Rcache[9 * c], sizeof(Rold));
-      matmul3(dR, Rold, Rnew);
-      R_to_aa(Rnew, cam_params + 6 * c);
-      for (int i = 0; i < 3; i++) cam_params[6 * c + 3 + i] += dc[c * 6 + 3 + i];
-    }
-    // points: dp = V^-1 (-bp - W^T dc)
-    for (int p = 0; p < P; p++) {
-      double acc[3] = {-bp[p * 3], -bp[p * 3 + 1], -bp[p * 3 + 2]};
-      for (int k = pt_start[p]; k < pt_start[p + 1]; k++) {
-        int o = pt_obs[k];
-        int c = cam_idx[o];
-        const double* Jc = &Jc_all[o * 12];
-        const double* Jp = &Jp_all[o * 6];
-        double W[18];
-        for (int i = 0; i < 6; i++)
-          for (int j = 0; j < 3; j++)
-            W[i * 3 + j] = Jc[i] * Jp[j] + Jc[6 + i] * Jp[3 + j];
-        for (int j = 0; j < 3; j++) {
-          double s = 0;
-          for (int i = 0; i < 6; i++) s += W[i * 3 + j] * dc[c * 6 + i];
-          acc[j] -= s;
-        }
-      }
-      const double* Vi = &Vinv[p * 9];
-      for (int i = 0; i < 3; i++)
-        points[p * 3 + i] += Vi[i * 3] * acc[0] + Vi[i * 3 + 1] * acc[1] + Vi[i * 3 + 2] * acc[2];
-    }
-
-    build_R_cache(pb, Rcache);
-    double new_cost = total_cost(pb, Rcache.data(), huber_delta);
+    ba_apply_cam_step(cam_params, dc.data(), num_cams, cam_new.data());
+    double new_cost = ba_shard_trial(h, cam_new.data(), dc.data());
     if (new_cost < cost) {
       cost = new_cost;
       lambda = std::fmax(lambda * 0.5, 1e-9);
+      std::memcpy(cam_params, cam_new.data(), 6 * num_cams * sizeof(double));
+      ba_shard_accept(h);
     } else {
-      std::memcpy(cam_params, cam_bak.data(), C * 6 * sizeof(double));
-      std::memcpy(points, pts_bak.data(), P * 3 * sizeof(double));
-      build_R_cache(pb, Rcache);
       lambda = std::fmin(lambda * 4.0, 1e8);
     }
   }
+  ba_shard_get_points(h, points);
   *final_cost = cost;
   *iters_run = it;
+  ba_shard_destroy(h);
   return 0;
 }
 

@@ -43,19 +43,40 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(build())
+            f64 = lambda: np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")  # noqa: E731
+            i32 = lambda: np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")  # noqa: E731
             lib.ba_solve.restype = ctypes.c_int
             lib.ba_solve.argtypes = [
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+                f64(), f64(), f64(), i32(), i32(), f64(), f64(),
                 ctypes.c_int, ctypes.c_double, ctypes.c_double,
                 ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
             ]
+            lib.ba_shard_create.restype = ctypes.c_void_p
+            lib.ba_shard_create.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                f64(), f64(), i32(), i32(), f64(), f64(), ctypes.c_double,
+            ]
+            lib.ba_shard_destroy.restype = None
+            lib.ba_shard_destroy.argtypes = [ctypes.c_void_p]
+            lib.ba_shard_linearize.restype = ctypes.c_double
+            lib.ba_shard_linearize.argtypes = [
+                ctypes.c_void_p, f64(), ctypes.c_double, f64(), f64(),
+            ]
+            lib.ba_shard_trial.restype = ctypes.c_double
+            lib.ba_shard_trial.argtypes = [ctypes.c_void_p, f64(), f64()]
+            lib.ba_shard_accept.restype = None
+            lib.ba_shard_accept.argtypes = [ctypes.c_void_p]
+            lib.ba_shard_get_points.restype = None
+            lib.ba_shard_get_points.argtypes = [ctypes.c_void_p, f64()]
+            lib.ba_shard_cost.restype = ctypes.c_double
+            lib.ba_shard_cost.argtypes = [ctypes.c_void_p, f64()]
+            lib.ba_solve_reduced.restype = ctypes.c_int
+            lib.ba_solve_reduced.argtypes = [
+                f64(), f64(), ctypes.c_int, ctypes.c_double, f64(),
+            ]
+            lib.ba_apply_cam_step.restype = None
+            lib.ba_apply_cam_step.argtypes = [f64(), f64(), ctypes.c_int, f64()]
             _lib = lib
     return _lib
 
@@ -116,4 +137,198 @@ def ba_solve(
     return ext, pts.astype(np.float32), {
         "final_cost": final_cost.value,
         "iterations": iters_run.value,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Distributed (sharded) solver
+# ---------------------------------------------------------------------------
+
+
+class BAShard:
+    """One worker's slice: all cameras (shared), a partition of the points
+    and every observation of those points (point elimination is local)."""
+
+    def __init__(self, num_cams, intrinsics4, points, cam_idx, pt_idx_local,
+                 uv, weight, huber_delta):
+        self._lib = _load()
+        self.C = int(num_cams)
+        self.P = int(points.shape[0])
+        self.O = int(len(uv))
+        self._pts_buf = np.ascontiguousarray(points.astype(np.float64))
+        self._h = self._lib.ba_shard_create(
+            self.C, self.P, self.O,
+            np.ascontiguousarray(intrinsics4.astype(np.float64)),
+            self._pts_buf,
+            np.ascontiguousarray(cam_idx.astype(np.int32)),
+            np.ascontiguousarray(pt_idx_local.astype(np.int32)),
+            np.ascontiguousarray(uv.astype(np.float64)),
+            np.ascontiguousarray(weight.astype(np.float64)),
+            float(huber_delta),
+        )
+
+    def linearize(self, cam, lam):
+        """Returns (S_partial (6C,6C), rhs_partial (6C,), cost) — additive."""
+        n = 6 * self.C
+        S = np.zeros((n, n), np.float64)
+        rhs = np.zeros(n, np.float64)
+        cost = self._lib.ba_shard_linearize(
+            self._h, np.ascontiguousarray(cam), float(lam), S, rhs
+        )
+        return S, rhs, cost
+
+    def trial(self, cam_new, dc):
+        return self._lib.ba_shard_trial(
+            self._h, np.ascontiguousarray(cam_new), np.ascontiguousarray(dc)
+        )
+
+    def accept(self):
+        self._lib.ba_shard_accept(self._h)
+
+    def points(self):
+        out = np.empty((self.P, 3), np.float64)
+        self._lib.ba_shard_get_points(self._h, out)
+        return out
+
+    def cost(self, cam):
+        return self._lib.ba_shard_cost(self._h, np.ascontiguousarray(cam))
+
+    def close(self):
+        if self._h:
+            self._lib.ba_shard_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def solve_reduced(S, rhs, lam):
+    """x = (S + lam I)^-1 rhs via the native Cholesky; None if not SPD."""
+    lib = _load()
+    n = rhs.shape[0]
+    dx = np.empty(n, np.float64)
+    ok = lib.ba_solve_reduced(
+        np.ascontiguousarray(S), np.ascontiguousarray(rhs), n, float(lam), dx
+    )
+    return dx if ok == 0 else None
+
+
+def apply_cam_step(cam, dc):
+    lib = _load()
+    out = np.empty_like(cam)
+    lib.ba_apply_cam_step(
+        np.ascontiguousarray(cam), np.ascontiguousarray(dc), cam.shape[0], out
+    )
+    return out
+
+
+def ba_solve_distributed(
+    extrinsics: np.ndarray,  # (C, 3, 4) w2c
+    intrinsics: np.ndarray,  # (C, 3, 3)
+    points: np.ndarray,  # (P, 3)
+    cam_idx: np.ndarray,
+    pt_idx: np.ndarray,
+    uv: np.ndarray,
+    weight: Optional[np.ndarray] = None,
+    num_shards: int = 2,
+    max_iters: int = 30,
+    init_lambda: float = 1e-3,
+    huber_delta: float = 0.0,
+    reduce_fn=None,
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """Multi-worker LM-Schur BA (SURVEY §7.1 step 10).
+
+    Points are partitioned round-robin over ``num_shards`` workers; each
+    worker eliminates its own 3x3 point blocks and contributes an additive
+    partial (S_w, rhs_w, cost_w) to the shared 6C x 6C reduced camera
+    system. ``reduce_fn(S_list, rhs_list, cost_list) -> (S, rhs, cost)``
+    performs the cross-worker reduction: the default sums in numpy
+    (single-host); a multi-host deployment passes a ``jax.lax.psum``-based
+    reducer so the reduction rides ICI/DCN (see tests/test_native_ba.py for
+    the shard_map form). The LM control (damping, accept/reject) is driven
+    here and is bit-identical to the single-shard ``ba_solve`` path.
+    """
+    from ..ops import geometry as G
+    import jax.numpy as jnp
+
+    C = extrinsics.shape[0]
+    P = points.shape[0]
+    aa = np.asarray(G.mat_to_axis_angle(jnp.asarray(extrinsics[:, :3, :3].astype(np.float32))))
+    cam = np.ascontiguousarray(
+        np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
+    )
+    K4 = np.ascontiguousarray(
+        np.stack(
+            [intrinsics[:, 0, 0], intrinsics[:, 1, 1], intrinsics[:, 0, 2], intrinsics[:, 1, 2]],
+            axis=1,
+        ).astype(np.float64)
+    )
+    if weight is None:
+        weight = np.ones(len(uv))
+    cam_idx = np.asarray(cam_idx, np.int32)
+    pt_idx = np.asarray(pt_idx, np.int32)
+    uv = np.asarray(uv, np.float64)
+    weight = np.asarray(weight, np.float64)
+
+    # round-robin point partition; each point's observations follow it
+    owner = np.arange(P) % num_shards
+    local_idx = np.arange(P) // num_shards
+    shards = []
+    shard_point_global = []
+    for w in range(num_shards):
+        sel_p = np.where(owner == w)[0]
+        sel_o = np.where(owner[pt_idx] == w)[0]
+        shard_point_global.append(sel_p)
+        shards.append(
+            BAShard(
+                C, K4, points[sel_p].astype(np.float64),
+                cam_idx[sel_o], local_idx[pt_idx[sel_o]].astype(np.int32),
+                uv[sel_o], weight[sel_o], huber_delta,
+            )
+        )
+
+    if reduce_fn is None:
+        def reduce_fn(S_list, rhs_list, cost_list):
+            return (
+                np.sum(S_list, axis=0),
+                np.sum(rhs_list, axis=0),
+                float(np.sum(cost_list)),
+            )
+
+    lam = init_lambda
+    cost = float(np.sum([sh.cost(cam) for sh in shards]))
+    it = 0
+    for it in range(max_iters):
+        parts = [sh.linearize(cam, lam) for sh in shards]
+        S, rhs, _ = reduce_fn(
+            [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts]
+        )
+        dc = solve_reduced(S, rhs, lam)
+        if dc is None:
+            lam *= 10.0
+            continue
+        cam_new = apply_cam_step(cam, dc)
+        new_cost = float(np.sum([sh.trial(cam_new, dc) for sh in shards]))
+        if new_cost < cost:
+            cost = new_cost
+            lam = max(lam * 0.5, 1e-9)
+            cam = cam_new
+            for sh in shards:
+                sh.accept()
+        else:
+            lam = min(lam * 4.0, 1e8)
+
+    pts_out = np.empty((P, 3), np.float64)
+    for w, sh in enumerate(shards):
+        pts_out[shard_point_global[w]] = sh.points()
+        sh.close()
+    R = np.asarray(G.axis_angle_to_mat(jnp.asarray(cam[:, :3].astype(np.float32))))
+    ext = np.concatenate([R, cam[:, 3:6, None].astype(np.float32)], axis=2)
+    return ext, pts_out.astype(np.float32), {
+        "final_cost": cost,
+        "iterations": it + 1,
+        "num_shards": num_shards,
     }

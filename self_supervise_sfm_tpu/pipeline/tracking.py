@@ -160,6 +160,7 @@ def tracks_to_reconstruction(
     max_reproj_error: float = 8.0,
     run_ba: bool = True,
     use_native_ba: bool = False,
+    ba_num_shards: int = 1,
     colors: Optional[np.ndarray] = None,
 ):
     """Tracked correspondences + initial poses -> bundle-adjusted
@@ -192,12 +193,21 @@ def tracks_to_reconstruction(
                     ci.append(iid_to_idx[iid])
                     pi.append(pid_to_idx[pid])
                     uv.append(rec.images[iid].xys[oi])
-            new_ext, new_pts, _ = NBA.ba_solve(
-                exts.astype(np.float32), Ks.astype(np.float32),
-                pts.astype(np.float32),
-                np.asarray(ci), np.asarray(pi), np.asarray(uv, np.float64),
-                huber_delta=4.0,
-            )
+            if ba_num_shards > 1:
+                # point-partitioned multi-worker engine (SURVEY §7.1 step 10)
+                new_ext, new_pts, _ = NBA.ba_solve_distributed(
+                    exts.astype(np.float32), Ks.astype(np.float32),
+                    pts.astype(np.float32),
+                    np.asarray(ci), np.asarray(pi), np.asarray(uv, np.float64),
+                    num_shards=ba_num_shards, huber_delta=4.0,
+                )
+            else:
+                new_ext, new_pts, _ = NBA.ba_solve(
+                    exts.astype(np.float32), Ks.astype(np.float32),
+                    pts.astype(np.float32),
+                    np.asarray(ci), np.asarray(pi), np.asarray(uv, np.float64),
+                    huber_delta=4.0,
+                )
             for i, iid in enumerate(iids):
                 rec.images[iid].qvec_wxyz = CIO._mat_to_qvec_wxyz(new_ext[i, :3, :3])
                 rec.images[iid].tvec = new_ext[i, :3, 3].astype(np.float64)

@@ -63,3 +63,101 @@ class TestNativeBA:
 
         ate = absolute_trajectory_error(ext_cpp, ext_jax, with_scale=False)
         assert ate["ate_rmse"] < 5e-3, ate
+
+
+class TestDistributedBA:
+    """Point-partitioned multi-worker LM-Schur (SURVEY §7.1 step 10)."""
+
+    def _perturbed(self, rng):
+        from self_supervise_sfm_tpu.ops import geometry as G
+
+        exts, Ks, pts, ci, pi, uv = make_ba_scene(rng, noise_px=0.2)
+        exts_n = exts.copy()
+        for c in range(1, exts.shape[0]):
+            daa = rng.normal(scale=0.01, size=3).astype(np.float32)
+            dR = np.asarray(G.axis_angle_to_mat(jnp.asarray(daa)))
+            exts_n[c, :3, :3] = dR @ exts_n[c, :3, :3]
+            exts_n[c, :3, 3] += rng.normal(scale=0.02, size=3).astype(np.float32)
+        pts_n = pts + rng.normal(scale=0.03, size=pts.shape).astype(np.float32)
+        return exts_n, Ks, pts_n, ci, pi, uv
+
+    def test_sharded_matches_single(self, native, rng):
+        """3-shard reduction == 1-shard reduction == monolithic ba_solve:
+        the partials are additive, so every LM iterate must agree."""
+        exts_n, Ks, pts_n, ci, pi, uv = self._perturbed(rng)
+        kw = dict(max_iters=15, init_lambda=1e-3)
+        e1, p1, i1 = native.ba_solve_distributed(
+            exts_n, Ks, pts_n, ci, pi, uv, num_shards=1, **kw
+        )
+        e3, p3, i3 = native.ba_solve_distributed(
+            exts_n, Ks, pts_n, ci, pi, uv, num_shards=3, **kw
+        )
+        em, pm, im = native.ba_solve(exts_n, Ks, pts_n.copy(), ci, pi, uv, **kw)
+        np.testing.assert_allclose(e3, e1, atol=1e-6)
+        np.testing.assert_allclose(p3, p1, atol=1e-6)
+        np.testing.assert_allclose(e3, em, atol=1e-6)
+        np.testing.assert_allclose(i3["final_cost"], im["final_cost"], rtol=1e-9)
+
+    def test_converges_with_huber(self, native, rng):
+        from self_supervise_sfm_tpu.ops import bundle_adjust as BA
+
+        exts_n, Ks, pts_n, ci, pi, uv = self._perturbed(rng)
+        ext_out, pts_out, info = native.ba_solve_distributed(
+            exts_n, Ks, pts_n, ci, pi, uv, num_shards=4, max_iters=25,
+            huber_delta=3.0,
+        )
+        prob = BA.make_problem(
+            jnp.asarray(ext_out), jnp.asarray(Ks), jnp.asarray(pts_out),
+            jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv),
+        )
+        assert float(BA.reprojection_rmse(prob)) < 0.5, info
+
+    def test_jax_psum_reducer(self, native, rng):
+        """The multi-host reduction path: each worker's (S_w, rhs_w, cost_w)
+        lives on its own device and is summed by jax.lax.psum over the mesh
+        — the collective that rides ICI/DCN in a real pod deployment."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from self_supervise_sfm_tpu.parallel.sharding import make_mesh
+
+        num_shards = 4
+        mesh = make_mesh(num_data=num_shards, num_context=1)
+
+        def psum_partials(S_stack, rhs_stack, cost_stack):
+            def body(S, rhs, cost):
+                return (
+                    jax.lax.psum(S, "data"),
+                    jax.lax.psum(rhs, "data"),
+                    jax.lax.psum(cost, "data"),
+                )
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=(P("data"), P("data"), P("data")),
+            )(S_stack, rhs_stack, cost_stack)
+
+        def reduce_fn(S_list, rhs_list, cost_list):
+            # f64 end to end: the reduced system's Cholesky needs it
+            with jax.enable_x64():
+                S, rhs, cost = psum_partials(
+                    np.stack(S_list), np.stack(rhs_list),
+                    np.asarray(cost_list, np.float64),
+                )
+            return (
+                np.asarray(S[0], np.float64),
+                np.asarray(rhs[0], np.float64),
+                float(cost[0]),
+            )
+
+        exts_n, Ks, pts_n, ci, pi, uv = self._perturbed(rng)
+        kw = dict(max_iters=12, init_lambda=1e-3)
+        e_np, p_np, _ = native.ba_solve_distributed(
+            exts_n, Ks, pts_n, ci, pi, uv, num_shards=num_shards, **kw
+        )
+        e_ps, p_ps, _ = native.ba_solve_distributed(
+            exts_n, Ks, pts_n, ci, pi, uv, num_shards=num_shards,
+            reduce_fn=reduce_fn, **kw
+        )
+        np.testing.assert_allclose(e_ps, e_np, atol=1e-6)
+        np.testing.assert_allclose(p_ps, p_np, atol=1e-6)
