@@ -131,10 +131,24 @@ def attention(
         (B, N, C).
     """
     q, k, v = qkv_heads(p, x, cfg, rope_cos_sin)
-    if extra_kv is not None:
+    o = None
+    if (
+        extra_kv is not None
+        and isinstance(mask, attention_core.RelocMask)
+        and cfg.impl != "dense"
+        and q.shape[2] * (mask.n_ctx + mask.frame_size) >= 1_500_000
+    ):
+        # [ctx ‖ own-frame] mask structure: two unmasked flash calls merged
+        # by lse beat the masked kernel (see reloc_split_attention)
         ek, ev = extra_kv
-        k = jnp.concatenate([ek.astype(k.dtype), k], axis=2)
-        v = jnp.concatenate([ev.astype(v.dtype), v], axis=2)
-    o = attention_core.sdpa(q, k, v, mask=mask, impl=cfg.impl)
+        o = attention_core.reloc_split_attention(
+            q, k, v, ek.astype(k.dtype), ev.astype(v.dtype), mask
+        )
+    if o is None:
+        if extra_kv is not None:
+            ek, ev = extra_kv
+            k = jnp.concatenate([ek.astype(k.dtype), k], axis=2)
+            v = jnp.concatenate([ev.astype(v.dtype), v], axis=2)
+        o = attention_core.sdpa(q, k, v, mask=mask, impl=cfg.impl)
     o = _merge_heads(o)
     return P.linear(p["proj"], o)

@@ -50,6 +50,45 @@ def sdpa_dense(
     return out.astype(q.dtype)
 
 
+def reloc_split_attention(
+    q: jax.Array,
+    k_self: jax.Array,
+    v_self: jax.Array,
+    k_ctx: jax.Array,
+    v_ctx: jax.Array,
+    mask: RelocMask,
+):
+    """RelocMask attention as two UNMASKED flash calls merged by log-sum-exp.
+
+    The mask structure — every query row sees [all context ‖ its own frame]
+    (``aggregator.py:832-851``) — partitions the key axis exactly, so
+    softmax(q, [ctx ‖ own]) == lse-merge(softmax(q, ctx), softmax(q, own)).
+    vs the masked kernel this removes all per-tile mask evaluation AND the
+    ~40% dead-tile overhang from 1374-token frames straddling 1024-wide key
+    tiles. Returns None when shapes don't line up (caller falls back).
+    """
+    B, H, N, d = q.shape
+    F, P = mask.num_frames, mask.frame_size
+    if N != F * P or k_self.shape[2] != N or k_ctx.shape[2] != mask.n_ctx:
+        return None
+    from . import flash_attention as fa
+    from .ring_attention import _merge
+
+    o_ctx, lse_ctx = fa.flash_attention_lse(q, k_ctx, v_ctx)
+    # own-frame part: frames fold into the batch axis — plain per-frame
+    # self-attention with no mask at all
+    def fold(x):
+        return x.reshape(B, H, F, P, d).transpose(0, 2, 1, 3, 4).reshape(B * F, H, P, d)
+
+    o_s, lse_s = fa.flash_attention_lse(fold(q), fold(k_self), fold(v_self))
+    o_s = o_s.reshape(B, F, H, P, d).transpose(0, 2, 1, 3, 4).reshape(B, H, N, d)
+    lse_s = lse_s.reshape(B, F, H, P).transpose(0, 2, 1, 3).reshape(B, H, N)
+    out, _ = _merge(
+        o_ctx.astype(jnp.float32), lse_ctx, o_s.astype(jnp.float32), lse_s
+    )
+    return out.astype(q.dtype)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,

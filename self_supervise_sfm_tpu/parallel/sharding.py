@@ -101,6 +101,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fsdp_sharding(mesh: Mesh, tree):
+    """FSDP/ZeRO-3-style sharding pytree for params or optimizer state.
+
+    Each array leaf's LARGEST dim divisible by the data-axis extent is
+    sharded over ``data``; everything else is replicated. Under pjit, XLA
+    inserts the per-use all-gather (forward/backward) and keeps the
+    persistent buffer sharded — per-chip memory for params + Adam state
+    drops by ~the data extent, the standard TPU recipe for models whose
+    replicated train state exceeds one chip's HBM.
+    """
+    nd = mesh.shape.get(DATA_AXIS, 1)
+    MIN_SHARD_ELEMS = 1 << 16  # small leaves stay replicated: sharding them
+    # saves nothing and forces awkward reshards in the backward pass
+
+    def leaf_sharding(x):
+        if (
+            nd <= 1
+            or not hasattr(x, "shape")
+            or x.ndim == 0
+            or int(np.prod(x.shape)) < MIN_SHARD_ELEMS
+        ):
+            return NamedSharding(mesh, P())
+        dims = sorted(
+            range(x.ndim), key=lambda d: x.shape[d], reverse=True
+        )
+        for d in dims:
+            if x.shape[d] % nd == 0 and x.shape[d] >= nd:
+                spec = [None] * x.ndim
+                spec[d] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf_sharding, tree)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put numeric leaves of a host batch onto the mesh data axis."""
     sh = batch_sharding(mesh)

@@ -38,6 +38,15 @@ class TrainConfig:
     rank: int = 300
     num_images: int = 2  # frames per scene (train_imc.py:552)
     loss: LossConfig = field(default_factory=LossConfig)
+    # Adam first-moment dtype. bfloat16 halves the largest optimizer buffer
+    # (the flagship model is ~1.3B params; m+v in f32 = 10.4 GB, more than
+    # half a v5e chip's HBM). f32 default matches the reference exactly.
+    adam_mu_dtype: str = "float32"
+    # Shard params + optimizer state over the mesh's data axis (FSDP/ZeRO-3
+    # style): each leaf's largest divisible dim is sharded; XLA inserts the
+    # per-layer all-gathers and reduce-scatters. Activated only when a mesh
+    # with data extent > 1 is active at make_train_step time.
+    fsdp: bool = False
 
 
 def make_schedule(cfg: TrainConfig):
@@ -51,7 +60,10 @@ def make_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.adam(make_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8)
+    return optax.adam(
+        make_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8,
+        mu_dtype=jnp.dtype(cfg.adam_mu_dtype),
+    )
 
 
 def init_train_state(key, model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
@@ -63,6 +75,20 @@ def init_train_state(key, model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
         "step": jnp.zeros((), jnp.int32),
         "key": jax.random.fold_in(key, 0xD5),
     }
+
+
+def init_train_state_sharded(key, model_cfg, train_cfg: TrainConfig, mesh):
+    """Init the train state directly into FSDP shardings on ``mesh`` — the
+    replicated flagship state (params + Adam moments ~15.6 GB) exceeds one
+    v5e chip's HBM, so it must never materialise unsharded."""
+    from ..parallel import sharding as Sh
+
+    shapes = jax.eval_shape(lambda k: init_train_state(k, model_cfg, train_cfg), key)
+    shardings = Sh.fsdp_sharding(mesh, shapes)
+    return jax.jit(
+        lambda k: init_train_state(k, model_cfg, train_cfg),
+        out_shardings=shardings,
+    )(key)
 
 
 def train_state_from_params(params, key, train_cfg: TrainConfig):
@@ -88,10 +114,14 @@ def _loss_fn(params, model_cfg, train_cfg, batch, key):
     # anchors = queries = the scene frames, duplicated (prepare_model_input,
     # train_imc.py:107-139)
     dup = jnp.concatenate([images, images], axis=1)
+    # images_duplicated: anchors repeat queries by construction here, so the
+    # ViT patch embed runs once per unique frame (fwd AND bwd — the gradient
+    # sums over both uses, exactly)
     preds = M.forward(
         params, model_cfg, dup,
         num_anchor=S, num_query=S,
         rank=train_cfg.rank, subsample_key=key,
+        images_duplicated=True,
     )
 
     def one_scene(ext, intr, scene):
@@ -111,17 +141,35 @@ def make_train_step(model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
     optimizer = make_optimizer(train_cfg)
 
     def step_fn(state, batch):
+        from ..parallel import sharding as Sh
+
+        mesh = Sh.active_mesh()
+        fsdp = (
+            train_cfg.fsdp
+            and mesh is not None
+            and mesh.shape.get(Sh.DATA_AXIS, 1) > 1
+        )
+
+        def constrain_tree(tree):
+            if not fsdp:
+                return tree
+            sh = Sh.fsdp_sharding(mesh, tree)
+            return jax.tree.map(jax.lax.with_sharding_constraint, tree, sh)
+
         key = jax.random.fold_in(state["key"], state["step"])
         (loss, metrics), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state["params"], model_cfg, train_cfg, batch, key
         )
+        # FSDP: gradients leave the backward as a reduce-scatter onto the
+        # same shards as the params; the optimizer then runs fully sharded.
+        grads = constrain_tree(grads)
         updates, new_opt = optimizer.update(grads, state["opt_state"], state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
+        new_params = constrain_tree(optax.apply_updates(state["params"], updates))
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["learning_rate"] = make_schedule(train_cfg)(state["step"])
         new_state = {
             "params": new_params,
-            "opt_state": new_opt,
+            "opt_state": constrain_tree(new_opt),
             "step": state["step"] + 1,
             "key": state["key"],
         }
@@ -138,7 +186,7 @@ def make_eval_forward(model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
         dup = jnp.concatenate([images, images], axis=1)
         return M.forward(
             params, model_cfg, dup, num_anchor=S, num_query=S,
-            rank=train_cfg.rank, subsample_key=key,
+            rank=train_cfg.rank, subsample_key=key, images_duplicated=True,
         )
 
     return jax.jit(fwd)
