@@ -331,33 +331,37 @@ def aggregator_forward(
 
     def layer(tokens, fp, gp, rp, idx_l):
         # 1. frame attention — frames sharded over (data x context)
-        t = tokens.reshape(B * S, Ptok, C)
-        t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
-        t = block(fp, t, bcfg, t_frame)
-        t = t.reshape(B, S, Ptok, C)
+        with jax.named_scope("frame_attn"):
+            t = tokens.reshape(B * S, Ptok, C)
+            t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
+            t = block(fp, t, bcfg, t_frame)
+            t = t.reshape(B, S, Ptok, C)
         frame_out = t
         anchors = t[:, :A]
         queries = t[:, A:]
         # 2. compressed scene representation
-        down = jnp.take_along_axis(anchors, idx_l[..., None], axis=2)  # (B,A,R5,C)
-        down = down.reshape(B, A * R5, C)
-        down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
-        down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
+        with jax.named_scope("scene_subsample"):
+            down = jnp.take_along_axis(anchors, idx_l[..., None], axis=2)
+            down = down.reshape(B, A * R5, C)
+            down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
+            down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
         # 3. global-reloc attention — query tokens context-sharded; the small
         # compressed scene rep stays replicated (all-gathered over ICI)
-        q = queries.reshape(B, Q * Ptok, C)
-        q = constrain(q, DATA_AXIS, CONTEXT_AXIS, None)
-        q = block_with_context(
-            rp, q, down, bcfg, t_query, (down_cos, down_sin), mask_reloc
-        )
-        reloc_out = q.reshape(B, Q, Ptok, C)
+        with jax.named_scope("reloc_attn"):
+            q = queries.reshape(B, Q * Ptok, C)
+            q = constrain(q, DATA_AXIS, CONTEXT_AXIS, None)
+            q = block_with_context(
+                rp, q, down, bcfg, t_query, (down_cos, down_sin), mask_reloc
+            )
+            reloc_out = q.reshape(B, Q, Ptok, C)
         # 4. global attention — the long (A*P) token axis is context-sharded
         # (sequence parallelism; KV all-gathered by XLA, or kept sharded and
         # ring-rotated when cfg.global_attn_impl == "ring")
-        g = anchors.reshape(B, A * Ptok, C)
-        g = constrain(g, DATA_AXIS, CONTEXT_AXIS, None)
-        g = block(gp, g, bcfg_g, t_global)
-        global_out = g.reshape(B, A, Ptok, C)
+        with jax.named_scope("global_attn"):
+            g = anchors.reshape(B, A * Ptok, C)
+            g = constrain(g, DATA_AXIS, CONTEXT_AXIS, None)
+            g = block(gp, g, bcfg_g, t_global)
+            global_out = g.reshape(B, A, Ptok, C)
 
         new_tokens = jnp.concatenate([global_out, reloc_out], axis=1)
         return new_tokens, frame_out, reloc_out, global_out

@@ -20,6 +20,14 @@ import argparse
 import os
 import queue
 import threading
+
+# Under the axon TPU plugin JAX_PLATFORMS=cpu alone is not honoured; when the
+# caller asks for virtual host devices (CPU smoke runs / CI), force the cpu
+# platform through jax.config before the backend initialises.
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 from dataclasses import dataclass, field, replace
 from typing import Iterator, Optional
 
@@ -53,8 +61,19 @@ class TrainerConfig:
     compute_dtype: str = "bfloat16"
     remat: bool = True
     rank: int = 300
+    # model size overrides (flagship ViT-L/24 defaults; smaller variants for
+    # ablations and CPU smoke runs)
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    vit_depth: int = 24
     pretrained: str = ""  # optional torch sailrecon.pt to convert+load
     img_size: int = 518
+    # jax.profiler trace window: capture steps [profile_start,
+    # profile_start + profile_steps) into <results_dir>/profile
+    # (view with tensorboard / xprof). 0 disables.
+    profile_start: int = 0
+    profile_steps: int = 0
     train: TrainConfig = field(default_factory=TrainConfig)
 
 
@@ -132,21 +151,41 @@ def run(cfg: TrainerConfig):
     mesh = Sh.make_mesh(num_data=num_data, num_context=num_context)
     print(f"mesh: data={num_data} context={num_context} ({devices[0].platform})")
 
+    model_kw = {}
+    if cfg.depth != 24:
+        # the DPT heads need exactly 4 tap layers; spread them over the depth
+        assert cfg.depth >= 4, "model depth must be >= 4 (4 DPT tap layers)"
+        model_kw["intermediate_layer_idx"] = tuple(
+            round((i + 1) * cfg.depth / 4) - 1 for i in range(4)
+        )
     model_cfg = M.make_config(
-        img_size=cfg.img_size, compute_dtype=cfg.compute_dtype, remat=cfg.remat
+        img_size=cfg.img_size, compute_dtype=cfg.compute_dtype, remat=cfg.remat,
+        embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
+        vit_depth=cfg.vit_depth, **model_kw,
     )
     tcfg = replace(cfg.train, total_steps=cfg.total_steps, rank=cfg.rank,
                    num_images=cfg.num_images)
 
     key = jax.random.PRNGKey(cfg.seed)
     ckpt = CheckpointManager(os.path.join(cfg.results_dir, "checkpoints"))
+    fsdp = tcfg.fsdp and num_data > 1
     if cfg.pretrained:
         from ..utils import converter as C
 
         print(f"loading pretrained torch checkpoint: {cfg.pretrained}")
         sd = C.load_torch_state_dict(cfg.pretrained)
         params = C.convert_sailrecon(sd)
+        if fsdp:
+            params = jax.device_put(params, Sh.fsdp_sharding(mesh, params))
         state = train_state_from_params(params, key, tcfg)
+        if fsdp:
+            state["opt_state"] = jax.device_put(
+                state["opt_state"], Sh.fsdp_sharding(mesh, state["opt_state"])
+            )
+    elif fsdp:
+        from .loop import init_train_state_sharded
+
+        state = init_train_state_sharded(key, model_cfg, tcfg, mesh)
     else:
         state = init_train_state(key, model_cfg, tcfg)
     if ckpt.latest_step() is not None:
@@ -170,14 +209,24 @@ def run(cfg: TrainerConfig):
         step_fn = make_train_step(model_cfg, tcfg)
         eval_fwd = make_eval_forward(model_cfg, tcfg)
         step = int(state["step"])
+        profiling = False
         while step < cfg.total_steps:
+            if cfg.profile_steps and step == cfg.profile_start and not profiling:
+                jax.profiler.start_trace(os.path.join(cfg.results_dir, "profile"))
+                profiling = True
             host_batch = next(batches)
             batch = Sh.shard_batch(
                 {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)},
                 mesh,
             )
-            state, metrics = step_fn(state, batch)
+            with jax.profiler.StepTraceAnnotation("train", step_num=step):
+                state, metrics = step_fn(state, batch)
             step = int(state["step"])
+            if profiling and step >= cfg.profile_start + cfg.profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile trace written to {cfg.results_dir}/profile")
             scalars = {k: float(v) for k, v in jax.device_get(metrics).items()}
             frames = batch["images"].shape[0] * batch["images"].shape[1]
             writer.write(step, scalars)
@@ -223,6 +272,18 @@ def main():
     ap.add_argument("--pretrained", default="")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard params + optimizer state over the data axis")
+    ap.add_argument("--adam-mu-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--profile-start", type=int, default=0)
+    ap.add_argument("--profile-steps", type=int, default=0,
+                    help="capture a jax.profiler trace over N steps")
+    ap.add_argument("--embed-dim", type=int, default=1024)
+    ap.add_argument("--depth", type=int, default=24)
+    ap.add_argument("--num-heads", type=int, default=16)
+    ap.add_argument("--vit-depth", type=int, default=24)
+    ap.add_argument("--rank", type=int, default=300)
     args = ap.parse_args()
     cfg = TrainerConfig(
         data_root=args.data_root,
@@ -235,8 +296,16 @@ def main():
         pretrained=args.pretrained,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
+        profile_start=args.profile_start,
+        profile_steps=args.profile_steps,
+        embed_dim=args.embed_dim,
+        depth=args.depth,
+        num_heads=args.num_heads,
+        vit_depth=args.vit_depth,
+        rank=args.rank,
         train=TrainConfig(max_lr=args.max_lr, warmup_steps=args.warmup,
-                          total_steps=args.steps, loss=LossConfig()),
+                          total_steps=args.steps, loss=LossConfig(),
+                          fsdp=args.fsdp, adam_mu_dtype=args.adam_mu_dtype),
     )
     run(cfg)
 

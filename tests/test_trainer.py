@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -57,3 +58,52 @@ def test_trainer_runs_and_checkpoints(tmp_path, monkeypatch):
     vls_dir = os.path.join(cfg.results_dir, "vls", "step_2")
     assert os.path.exists(os.path.join(vls_dir, "pred.ply"))
     assert os.path.exists(os.path.join(vls_dir, "poses_kitti.txt"))
+
+
+def test_trainer_fsdp_profile(tmp_path):
+    """Trainer with FSDP sharding + jax.profiler trace window + model-size
+    overrides (no monkeypatch: the real CLI-exposed config path)."""
+    import glob
+
+    from self_supervise_sfm_tpu.train import trainer as T
+    from self_supervise_sfm_tpu.train.loop import TrainConfig
+    from self_supervise_sfm_tpu.train.loss import LossConfig
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=4, num_images=2, image_size=(40, 32))
+
+    cfg = T.TrainerConfig(
+        data_root=root,
+        results_dir=str(tmp_path / "results"),
+        total_steps=4,
+        num_images=2,
+        sample_num=64,
+        img_size=28,
+        num_context=2,
+        checkpoint_every=0,
+        artifact_every=0,
+        sanity_check_every=0,
+        log_every=1,
+        compute_dtype="float32",
+        remat=False,
+        rank=2,
+        embed_dim=64,
+        depth=4,
+        num_heads=4,
+        vit_depth=2,
+        profile_start=1,
+        profile_steps=2,
+        train=TrainConfig(max_lr=1e-4, warmup_steps=2, total_steps=4, rank=2,
+                          num_images=2, loss=LossConfig(num_bins=50),
+                          fsdp=True, adam_mu_dtype="bfloat16"),
+    )
+    state = T.run(cfg)
+    assert int(state["step"]) == 4
+    assert np.isfinite(float(np.asarray(
+        jax.tree_util.tree_leaves(state["params"])[0]
+    ).sum()))
+    traces = glob.glob(
+        os.path.join(cfg.results_dir, "profile", "**", "*.xplane.pb"),
+        recursive=True,
+    )
+    assert traces, "profiler trace not written"
