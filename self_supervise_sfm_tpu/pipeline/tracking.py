@@ -120,6 +120,100 @@ def extract_keypoints(
     return pts[keep].astype(np.float32)
 
 
+# -- end-to-end track prediction ---------------------------------------------
+
+
+def predict_tracks(
+    tracker_params,
+    images: np.ndarray,  # (S, H, W, 3) in [0, 1], one scene
+    query_frame_indexes: Optional[List[int]] = None,
+    query_frame_num: int = 3,
+    max_query_pts: int = 2048,
+    max_points_per_chunk: int = 1024,
+    extractor_methods: str = "shi_tomasi",
+    superpoint_params=None,
+    fine_tracking: bool = True,
+    augment_min_vis_frac: float = 0.3,
+    max_augment_frames: int = 2,
+    vit_params=None,
+    vit_cfg=None,
+    tracker_cfg=None,
+):
+    """End-to-end track generation (``dependency/track_predict.py:13-141``):
+
+    1. pick representative query frames — caller-supplied, or DINO CLS
+       ranking + farthest-point sampling when vit params are given, else
+       uniform (``generate_rank_by_dino``, ``vggsfm_utils.py:53-128``);
+    2. per query frame: reorder so the query leads, extract keypoints via the
+       extractor zoo union, track them through every frame in fixed-size
+       chunks (``_forward_on_query``, ``vggsfm_utils.py:281-341``);
+    3. re-track frames whose mean visibility is poor, with them as the query
+       (``_augment_non_visible_frames``, ``track_predict.py:253-349``).
+
+    Returns (tracks (S, N, 2), visibility (S, N), query_points (N, 2 in the
+    ORIGINAL frame order's coordinates)).
+    """
+    from .vggsfm_tracker import VGGSfMTrackerConfig, track as run_tracker
+    from .extractors import initialize_feature_extractors, extract_keypoints_union
+
+    S = images.shape[0]
+    cfg = tracker_cfg or VGGSfMTrackerConfig()
+    zoo = initialize_feature_extractors(
+        extractor_methods, max_pts=max_query_pts, superpoint_params=superpoint_params
+    )
+
+    if query_frame_indexes is None:
+        if vit_params is not None and vit_cfg is not None:
+            query_frame_indexes = rank_frames_by_dino(
+                vit_params, vit_cfg, jnp.asarray(images), query_frame_num
+            )
+        else:
+            query_frame_indexes = list(
+                np.linspace(0, S - 1, query_frame_num).astype(int)
+            )
+
+    def forward_on_query(qidx: int):
+        order = [qidx] + [i for i in range(S) if i != qidx]
+        inv = np.argsort(order)
+        imgs = jnp.asarray(images[order])[None]  # (1, S, H, W, 3)
+        xy = extract_keypoints_union(images[qidx], zoo)[:max_query_pts]
+        if len(xy) == 0:
+            return None
+        tr_chunks, vis_chunks = [], []
+        for lo in range(0, len(xy), max_points_per_chunk):
+            q = jnp.asarray(xy[lo : lo + max_points_per_chunk])[None]
+            fine, _, vis = run_tracker(
+                tracker_params, imgs, q, cfg, fine_tracking=fine_tracking
+            )
+            tr_chunks.append(np.asarray(fine[0]))
+            vis_chunks.append(np.asarray(vis[0]))
+        tr = np.concatenate(tr_chunks, axis=1)[inv]  # back to original order
+        vis = np.concatenate(vis_chunks, axis=1)[inv]
+        return tr, vis, xy
+
+    outs = [o for o in (forward_on_query(q) for q in query_frame_indexes) if o]
+    if not outs:
+        return None
+    tracks = np.concatenate([o[0] for o in outs], axis=1)
+    vis = np.concatenate([o[1] for o in outs], axis=1)
+    qpts = np.concatenate([o[2] for o in outs], axis=0)
+
+    # augment: frames that too few tracks see become query frames themselves
+    seen = set(query_frame_indexes)
+    frame_vis = (vis > 0.5).mean(axis=1)  # (S,)
+    bad = [
+        i for i in np.argsort(frame_vis)
+        if frame_vis[i] < augment_min_vis_frac and i not in seen
+    ][:max_augment_frames]
+    for b in bad:
+        o = forward_on_query(int(b))
+        if o is not None:
+            tracks = np.concatenate([tracks, o[0]], axis=1)
+            vis = np.concatenate([vis, o[1]], axis=1)
+            qpts = np.concatenate([qpts, o[2]], axis=0)
+    return tracks, vis, qpts
+
+
 # -- track -> reconstruction --------------------------------------------------
 
 
