@@ -238,6 +238,7 @@ def ba_solve_distributed(
     init_lambda: float = 1e-3,
     huber_delta: float = 0.0,
     reduce_fn=None,
+    gauge_fix: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Multi-worker LM-Schur BA (SURVEY §7.1 step 10).
 
@@ -250,6 +251,11 @@ def ba_solve_distributed(
     reducer so the reduction rides ICI/DCN (see tests/test_native_ba.py for
     the shard_map form). The LM control (damping, accept/reject) is driven
     here and is bit-identical to the single-shard ``ba_solve`` path.
+
+    ``gauge_fix``: remove the 7-dof gauge freedom COLMAP-style — freeze
+    camera 0 entirely and camera 1's largest-|t| translation component
+    (pins global scale; same convention as ``ops.bundle_adjust.gauge_mask``)
+    by pinning those rows/cols of the reduced camera system.
     """
     from ..ops import geometry as G
     import jax.numpy as jnp
@@ -298,6 +304,13 @@ def ba_solve_distributed(
                 float(np.sum(cost_list)),
             )
 
+    fixed_rows = np.empty(0, np.int64)
+    if gauge_fix:
+        fixed_rows = np.arange(6)
+        if C > 1:
+            comp = int(np.argmax(np.abs(cam[1, 3:6])))
+            fixed_rows = np.concatenate([fixed_rows, [6 + 3 + comp]])
+
     lam = init_lambda
     cost = float(np.sum([sh.cost(cam) for sh in shards]))
     it = 0
@@ -306,6 +319,13 @@ def ba_solve_distributed(
         S, rhs, _ = reduce_fn(
             [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts]
         )
+        if fixed_rows.size:
+            S = np.asarray(S, np.float64).copy()
+            rhs = np.asarray(rhs, np.float64).copy()
+            S[fixed_rows, :] = 0.0
+            S[:, fixed_rows] = 0.0
+            S[fixed_rows, fixed_rows] = 1.0
+            rhs[fixed_rows] = 0.0
         dc = solve_reduced(S, rhs, lam)
         if dc is None:
             lam *= 10.0

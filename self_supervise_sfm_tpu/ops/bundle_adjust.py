@@ -135,13 +135,49 @@ def _robust_scale(r2, delta):
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+def gauge_mask(
+    problem: BAProblem,
+    cfg: BAConfig = BAConfig(),
+    fix_first_camera: bool = True,
+    fix_scale: bool = True,
+) -> jax.Array:
+    """(C, cam_dim) free-parameter mask removing the BA gauge freedom.
+
+    Free bundle adjustment has a 7-dof null space (global SE(3) + scale):
+    COLMAP's solver handles this by fixing the first camera's pose and one
+    translation component of the second camera
+    (the reference hands BA to pycolmap, ``dependency/np_to_pycolmap.py``).
+    Same convention here: camera 0 fully frozen; if ``fix_scale``, camera 1's
+    largest-|t| translation component is frozen too, pinning global scale so
+    refined poses stay metrically comparable to the initial ones.
+    """
+    C = problem.cam_params.shape[0]
+    mask = jnp.ones((C, cfg.cam_dim), problem.cam_params.dtype)
+    if fix_first_camera:
+        mask = mask.at[0].set(0.0)
+    if fix_scale and C > 1:
+        comp = jnp.argmax(jnp.abs(problem.cam_params[1, 3:6]))
+        mask = mask.at[1, 3 + comp].set(0.0)
+    return mask
+
+
 @partial(jax.jit, static_argnums=(1,))
-def bundle_adjust(problem: BAProblem, cfg: BAConfig = BAConfig()) -> Tuple[BAProblem, dict]:
-    """Run LM; returns (refined problem, info dict)."""
+def bundle_adjust(
+    problem: BAProblem,
+    cfg: BAConfig = BAConfig(),
+    free_mask: Optional[jax.Array] = None,
+) -> Tuple[BAProblem, dict]:
+    """Run LM; returns (refined problem, info dict).
+
+    free_mask: optional (C, cam_dim) 0/1 mask of free camera parameters
+    (see :func:`gauge_mask`); masked dims receive zero update, which
+    constrains the CG solve to the gauge-fixed subspace.
+    """
     O = problem.uv.shape[0]
     C = problem.cam_params.shape[0]
     P = problem.points.shape[0]
     cd = cfg.cam_dim
+    fmask = None if free_mask is None else free_mask.astype(problem.cam_params.dtype)
 
     def cost_and_system(cam_params, points):
         prob = problem._replace(cam_params=cam_params, points=points)
@@ -199,22 +235,33 @@ def bundle_adjust(problem: BAProblem, cfg: BAConfig = BAConfig()) -> Tuple[BAPro
         # rhs = -bc + sum_obs W V^-1 bp
         t = jnp.einsum("okl,ol->ok", W, (V_inv @ bp[..., None])[pt_idx, :, 0])
         rhs = -bc + jax.ops.segment_sum(t, cam_idx, C)
+        if fmask is not None:
+            rhs = rhs * fmask
 
         def S_matvec(x):  # x: (C, cd)
+            if fmask is not None:
+                x = x * fmask
             # z_p = V^-1 sum_obs W^T x_cam
             wtx = jnp.einsum("okl,ok->ol", W, x[cam_idx])  # (O, 3)
             zp = (V_inv @ jax.ops.segment_sum(wtx, pt_idx, P)[..., None])[..., 0]
             # S x = U_l x - sum_obs W z_p
             wz = jnp.einsum("okl,ol->ok", W, zp[pt_idx])
-            return jnp.einsum("ckl,cl->ck", U_l, x) - jax.ops.segment_sum(
+            Sx = jnp.einsum("ckl,cl->ck", U_l, x) - jax.ops.segment_sum(
                 wz, cam_idx, C
             )
+            # projected operator: identity on fixed dims keeps CG well-posed
+            if fmask is not None:
+                Sx = Sx * fmask + x * (1.0 - fmask)
+            return Sx
 
         # block-Jacobi preconditioner
         U_inv = jnp.linalg.inv(U_l + 1e-12 * eye_c[None])
 
         def precond(x):
-            return jnp.einsum("ckl,cl->ck", U_inv, x)
+            z = jnp.einsum("ckl,cl->ck", U_inv, x)
+            if fmask is not None:
+                z = z * fmask + x * (1.0 - fmask)
+            return z
 
         def cg_body(i, state):
             x, rr, p, rz = state

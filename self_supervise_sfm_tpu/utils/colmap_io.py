@@ -266,8 +266,13 @@ def reconstruction_to_batch_matrix(rec: Reconstruction):
     return points, extrinsics, intrinsics
 
 
-def refine(rec: Reconstruction, cfg=None) -> Reconstruction:
-    """Bundle-adjust a reconstruction in place with ``ops/bundle_adjust``."""
+def refine(rec: Reconstruction, cfg=None, gauge_fix: bool = True) -> Reconstruction:
+    """Bundle-adjust a reconstruction in place with ``ops/bundle_adjust``.
+
+    ``gauge_fix`` (default on, matching COLMAP's BA configuration) freezes
+    camera 0 and one translation component of camera 1 so the refinement
+    cannot drift the global frame/scale of the feed-forward reconstruction.
+    """
     import jax.numpy as jnp
 
     from ..ops import bundle_adjust as BA
@@ -292,7 +297,9 @@ def refine(rec: Reconstruction, cfg=None) -> Reconstruction:
         jnp.asarray(np.asarray(pt_idx)),
         jnp.asarray(np.asarray(uv, np.float32)),
     )
-    refined, info = BA.bundle_adjust(prob, cfg or BA.BAConfig())
+    cfg = cfg or BA.BAConfig()
+    mask = BA.gauge_mask(prob, cfg) if gauge_fix and len(iids) > 1 else None
+    refined, info = BA.bundle_adjust(prob, cfg, free_mask=mask)
     new_ext = np.asarray(BA.extrinsics_from_params(refined.cam_params))
     new_pts = np.asarray(refined.points)
     for i, iid in enumerate(iids):

@@ -107,6 +107,33 @@ class TestBundleAdjust:
 
         assert centre_err(robust) <= centre_err(plain) * 1.05
 
+    def test_gauge_fix_pins_first_camera_and_scale(self, rng):
+        """With gauge_mask, cam0 is bit-unchanged, global scale is pinned,
+        and the constrained solve still reaches the same reprojection
+        quality (the removed dofs are exactly the cost null space)."""
+        exts, Ks, pts, ci, pi, uv = make_ba_scene(rng)
+        exts_n = exts.copy()
+        for c in range(1, exts.shape[0]):
+            exts_n[c, :3, 3] += rng.normal(scale=0.03, size=3).astype(np.float32)
+        pts_n = pts + rng.normal(scale=0.05, size=pts.shape).astype(np.float32)
+        prob = BA.make_problem(
+            jnp.asarray(exts_n), jnp.asarray(Ks), jnp.asarray(pts_n),
+            jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv),
+        )
+        cfg = BA.BAConfig(max_iters=25)
+        mask = BA.gauge_mask(prob, cfg)
+        assert np.asarray(mask)[0].sum() == 0 and np.asarray(mask)[1].sum() == cfg.cam_dim - 1
+        refined, _ = BA.bundle_adjust(prob, cfg, free_mask=mask)
+        rmse = float(BA.reprojection_rmse(refined))
+        assert rmse < 0.05, rmse
+        np.testing.assert_array_equal(
+            np.asarray(refined.cam_params[0]), np.asarray(prob.cam_params[0])
+        )
+        comp = int(np.argmax(np.abs(np.asarray(prob.cam_params)[1, 3:6])))
+        assert float(refined.cam_params[1, 3 + comp]) == float(
+            prob.cam_params[1, 3 + comp]
+        )
+
     def test_padded_observations_ignored(self, rng):
         exts, Ks, pts, ci, pi, uv = make_ba_scene(rng)
         w = np.ones(len(uv), np.float32)

@@ -98,6 +98,29 @@ class TestDistributedBA:
         np.testing.assert_allclose(e3, em, atol=1e-6)
         np.testing.assert_allclose(i3["final_cost"], im["final_cost"], rtol=1e-9)
 
+    def test_gauge_fix(self, native, rng):
+        """gauge_fix freezes camera 0 and one translation component of
+        camera 1 (COLMAP convention) while still converging."""
+        from self_supervise_sfm_tpu.ops import bundle_adjust as BA
+        from self_supervise_sfm_tpu.ops import geometry as G
+
+        exts_n, Ks, pts_n, ci, pi, uv = self._perturbed(rng)
+        ext_out, pts_out, info = native.ba_solve_distributed(
+            exts_n, Ks, pts_n, ci, pi, uv, num_shards=2, max_iters=25,
+            gauge_fix=True,
+        )
+        # rotation passes through a float32 axis-angle roundtrip on output
+        np.testing.assert_allclose(ext_out[0], exts_n[0], atol=3e-5)
+        comp = int(np.argmax(np.abs(exts_n[1, :3, 3])))
+        np.testing.assert_allclose(
+            ext_out[1, comp, 3], exts_n[1, comp, 3], atol=3e-5
+        )
+        prob = BA.make_problem(
+            jnp.asarray(ext_out), jnp.asarray(Ks), jnp.asarray(pts_out),
+            jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv),
+        )
+        assert float(BA.reprojection_rmse(prob)) < 0.5, info
+
     def test_converges_with_huber(self, native, rng):
         from self_supervise_sfm_tpu.ops import bundle_adjust as BA
 
