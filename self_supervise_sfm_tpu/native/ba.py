@@ -225,6 +225,171 @@ def apply_cam_step(cam, dc):
     return out
 
 
+def ba_solve_multihost(
+    extrinsics: np.ndarray,  # (C, 3, 4) w2c
+    intrinsics: np.ndarray,  # (C, 3, 3)
+    points: np.ndarray,  # (P, 3)
+    cam_idx: np.ndarray,
+    pt_idx: np.ndarray,
+    uv: np.ndarray,
+    weight: Optional[np.ndarray] = None,
+    max_iters: int = 30,
+    init_lambda: float = 1e-3,
+    huber_delta: float = 0.0,
+    gauge_fix: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """True multi-process distributed BA under ``jax.distributed``.
+
+    Every process is handed the full problem (replicated input keeps the
+    API simple; cameras are shared state anyway) and owns the round-robin
+    point partition ``point % process_count == process_index`` — the same
+    partition as ``ba_solve_distributed(num_shards=process_count)``, so an
+    N-process run is numerically identical to an N-shard single-process run.
+    Each process linearizes only its own points in the native engine; the
+    additive partials (S, rhs, cost) are summed with ``jax.lax.psum`` over
+    a mesh of every process's devices — the collective that rides ICI/DCN
+    on a real pod. LM control is replicated: identical reduced systems →
+    identical steps on every process (the reduced solve is the native
+    Cholesky, deterministic for identical inputs). Returns the full
+    solution on every process (points re-gathered with a process
+    all-gather).
+
+    Requires ``jax.distributed.initialize()`` before any backend use when
+    process_count > 1; degenerates to the single-shard solver otherwise.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from ..ops import geometry as G
+
+    C = extrinsics.shape[0]
+    P = points.shape[0]
+    nproc = jax.process_count()
+    proc = jax.process_index()
+
+    aa = np.asarray(G.mat_to_axis_angle(jnp.asarray(extrinsics[:, :3, :3].astype(np.float32))))
+    cam = np.ascontiguousarray(
+        np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
+    )
+    K4 = np.ascontiguousarray(
+        np.stack(
+            [intrinsics[:, 0, 0], intrinsics[:, 1, 1], intrinsics[:, 0, 2], intrinsics[:, 1, 2]],
+            axis=1,
+        ).astype(np.float64)
+    )
+    if weight is None:
+        weight = np.ones(len(uv))
+    cam_idx = np.asarray(cam_idx, np.int32)
+    pt_idx = np.asarray(pt_idx, np.int32)
+    uv = np.asarray(uv, np.float64)
+    weight = np.asarray(weight, np.float64)
+
+    owner = np.arange(P) % nproc
+    local_idx = np.arange(P) // nproc
+    sel_p = np.where(owner == proc)[0]
+    sel_o = np.where(owner[pt_idx] == proc)[0]
+    shard = BAShard(
+        C, K4, points[sel_p].astype(np.float64),
+        cam_idx[sel_o], local_idx[pt_idx[sel_o]].astype(np.int32),
+        uv[sel_o], weight[sel_o], huber_delta,
+    )
+
+    n = 6 * C
+    mesh = jax.make_mesh((jax.device_count(),), ("w",))
+    L = jax.local_device_count()
+
+    def _psum3(S, rhs, cost):
+        """All-reduce the per-process partials over every device; each
+        process contributes its partial / local_device_count on each of its
+        devices, so the device psum equals the process sum."""
+        with jax.enable_x64():
+            def to_global(x):
+                x = np.asarray(x, np.float64) / L
+                gs = (jax.device_count(),) + x.shape
+                arrs = [jax.device_put(x[None], d) for d in jax.local_devices()]
+                return jax.make_array_from_single_device_arrays(
+                    gs, NamedSharding(mesh, PS("w")), arrs
+                )
+
+            def body(S, rhs, cost):
+                return (
+                    jax.lax.psum(S, "w"),
+                    jax.lax.psum(rhs, "w"),
+                    jax.lax.psum(cost, "w"),
+                )
+
+            So, ro, co = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(PS("w"), PS("w"), PS("w")),
+                out_specs=(PS(), PS(), PS()),
+            )(to_global(S), to_global(rhs), to_global(np.asarray([cost])))
+            return (
+                np.asarray(So[0], np.float64),
+                np.asarray(ro[0], np.float64),
+                float(np.asarray(co[0])[0]),
+            )
+
+    fixed_rows = np.empty(0, np.int64)
+    if gauge_fix:
+        fixed_rows = np.arange(6)
+        if C > 1:
+            comp = int(np.argmax(np.abs(cam[1, 3:6])))
+            fixed_rows = np.concatenate([fixed_rows, [6 + 3 + comp]])
+
+    zS = np.zeros((n, n), np.float64)
+    zr = np.zeros(n, np.float64)
+    lam = init_lambda
+    _, _, cost = _psum3(zS, zr, shard.cost(cam))
+    it = 0
+    for it in range(max_iters):
+        S_l, rhs_l, _ = shard.linearize(cam, lam)
+        S, rhs, _ = _psum3(S_l, rhs_l, 0.0)
+        if fixed_rows.size:
+            S[fixed_rows, :] = 0.0
+            S[:, fixed_rows] = 0.0
+            S[fixed_rows, fixed_rows] = 1.0
+            rhs[fixed_rows] = 0.0
+        dc = solve_reduced(S, rhs, lam)
+        if dc is None:
+            lam *= 10.0
+            continue
+        cam_new = apply_cam_step(cam, dc)
+        _, _, new_cost = _psum3(zS, zr, shard.trial(cam_new, dc))
+        if new_cost < cost:
+            cost = new_cost
+            lam = max(lam * 0.5, 1e-9)
+            cam = cam_new
+            shard.accept()
+        else:
+            lam = min(lam * 4.0, 1e8)
+
+    # re-gather the point partition: pad each process's slice to the max
+    # shard size, all-gather, then scatter back by owner
+    Pmax = int(np.ceil(P / nproc)) if P else 0
+    padded = np.zeros((Pmax, 3), np.float64)
+    pts_local = shard.points()
+    padded[: pts_local.shape[0]] = pts_local
+    shard.close()
+    with jax.enable_x64():
+        gathered = np.asarray(multihost_utils.process_allgather(padded))
+    if nproc == 1:
+        gathered = gathered.reshape(1, Pmax, 3)
+    pts_out = np.empty((P, 3), np.float64)
+    for w in range(nproc):
+        selw = np.where(owner == w)[0]
+        pts_out[selw] = gathered[w, : selw.shape[0]]
+
+    R = np.asarray(G.axis_angle_to_mat(jnp.asarray(cam[:, :3].astype(np.float32))))
+    ext = np.concatenate([R, cam[:, 3:6, None].astype(np.float32)], axis=2)
+    return ext, pts_out.astype(np.float32), {
+        "final_cost": cost,
+        "iterations": it + 1,
+        "num_processes": nproc,
+    }
+
+
 def ba_solve_distributed(
     extrinsics: np.ndarray,  # (C, 3, 4) w2c
     intrinsics: np.ndarray,  # (C, 3, 3)

@@ -135,6 +135,50 @@ class TestDistributedBA:
         )
         assert float(BA.reprojection_rmse(prob)) < 0.5, info
 
+    def test_multiprocess_psum(self, native, tmp_path):
+        """True multi-process run: 2 OS processes under jax.distributed,
+        each owning half the points, partials psum'd across processes.
+        Must match the single-process 2-shard solver exactly (same
+        round-robin partition, same LM control)."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        from tests._ba_mh_worker import make_worker_problem
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        out = str(tmp_path / "mh.npz")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "tests._ba_mh_worker",
+                 str(port), "2", str(i), out],
+                env=env, cwd=env["PYTHONPATH"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        logs = [p.communicate(timeout=300)[0].decode() for p in procs]
+        assert all(p.returncode == 0 for p in procs), logs
+
+        exts_n, Ks, pts_n, ci, pi, uv = make_worker_problem()
+        e_ref, p_ref, i_ref = native.ba_solve_distributed(
+            exts_n, Ks, pts_n, ci, pi, uv, num_shards=2,
+            max_iters=15, init_lambda=1e-3,
+        )
+        got = np.load(out)
+        np.testing.assert_allclose(got["ext"], e_ref, atol=1e-6)
+        np.testing.assert_allclose(got["pts"], p_ref, atol=1e-6)
+        np.testing.assert_allclose(
+            got["final_cost"], i_ref["final_cost"], rtol=1e-9
+        )
+
     def test_jax_psum_reducer(self, native, rng):
         """The multi-host reduction path: each worker's (S_w, rhs_w, cost_w)
         lives on its own device and is summed by jax.lax.psum over the mesh
