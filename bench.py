@@ -32,7 +32,7 @@ PEAK_BF16_FLOPS = 197e12
 NUM_FRAMES = 5
 IMG = 518
 RANK = 300
-WARMUP = 2
+WARMUP = 1
 ITERS = 5
 
 
@@ -53,7 +53,7 @@ def main():
     images = jnp.asarray(np.concatenate([uniq, uniq], axis=1))
     key = jax.random.PRNGKey(1)
 
-    def fn(params, images, key):
+    def step(params, images, key):
         preds = M.forward(
             params, cfg, images,
             num_anchor=NUM_FRAMES, num_query=NUM_FRAMES,
@@ -69,6 +69,15 @@ def main():
             + jnp.sum(preds["point_map_by_unprojection"])
         )
         return checksum
+
+    def fn(params, images, key):
+        # ITERS steps chained inside one jit: the ~30 ms remote-dispatch RTT
+        # is paid once per *measurement*, not once per step; fresh subsample
+        # key per step so no step is trivially cached
+        def body(i, acc):
+            return acc + step(params, images, jax.random.fold_in(key, i))
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
     jfn = jax.jit(fn)
     t0 = time.perf_counter()
@@ -91,16 +100,18 @@ def main():
         + 24 * 4 * 16 * (S * P) ** 2 * 64      # global attention
         + 24 * 4 * 16 * (S * P) * (S * R5 + S * P) * 64  # reloc attention
     )
+    # XLA cost analysis counts a while-loop body ONCE (trip count opaque),
+    # so `flops` is already per-step; flash flops are per step too
     flops = flops + flash_flops
 
     for _ in range(WARMUP):
         float(compiled(params, images, key))
 
     times = []
-    for _ in range(ITERS):
+    for _ in range(3):
         t0 = time.perf_counter()
         float(compiled(params, images, key))
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / ITERS)
     dt = float(np.median(times))
 
     frames_per_sec = NUM_FRAMES / dt
