@@ -13,10 +13,9 @@ and unions their detections (``:253-278``). Here the zoo is TPU-native:
 - Shi-Tomasi corners (``tracking.extract_keypoints``) as the dependency-free
   default.
 
-ALIKED is intentionally not ported: its deformable-conv backbone has no
-efficient XLA lowering, and the learned tracker consumes *query points*, not
-descriptors — the zoo's job is well-distributed detections
-(``vggsfm_utils.py:253-278`` unions xy coordinates only).
+- ``aliked`` (``pipeline/aliked.py``): the ALIKED deformable
+  detector+descriptor, with DCN lowered to offset-conv + gather-based
+  bilinear sampling (no custom op needed on TPU).
 """
 
 from __future__ import annotations
@@ -306,6 +305,17 @@ def initialize_feature_extractors(
                 xy, s = dog_keypoints(jnp.asarray(img), max_pts)
                 return np.asarray(xy)[np.asarray(s) > 0]
             zoo[m] = dg
+        elif m == "aliked":
+            from . import aliked as A
+
+            ap = A.init_aliked(jax.random.PRNGKey(0))
+            def ak(img, _p=ap):
+                img = jnp.asarray(img, jnp.float32)
+                if img.ndim == 2:
+                    img = jnp.repeat(img[..., None], 3, axis=-1)
+                xy, s, _ = A.aliked_keypoints(_p, img, max_pts)
+                return np.asarray(xy)[np.asarray(s) > 0]
+            zoo[m] = ak
         else:
             raise ValueError(f"unknown extractor: {m}")
     return zoo

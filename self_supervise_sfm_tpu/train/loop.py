@@ -50,11 +50,14 @@ class TrainConfig:
 
 
 def make_schedule(cfg: TrainConfig):
+    # short smoke/profile runs can have total_steps < warmup_steps; clamp so
+    # the cosine decay span stays positive
+    warmup = min(cfg.warmup_steps, cfg.total_steps)
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.max_lr,
-        warmup_steps=cfg.warmup_steps,
-        decay_steps=cfg.total_steps,
+        warmup_steps=warmup,
+        decay_steps=max(cfg.total_steps, warmup + 1),
         end_value=cfg.max_lr * cfg.min_lr_ratio,
     )
 

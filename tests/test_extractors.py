@@ -130,4 +130,4 @@ class TestZoo:
 
     def test_unknown_method_raises(self):
         with pytest.raises(ValueError, match="unknown extractor"):
-            E.initialize_feature_extractors("aliked")
+            E.initialize_feature_extractors("r2d2")
