@@ -30,24 +30,30 @@ _state = threading.local()
 
 DATA_AXIS = "data"
 CONTEXT_AXIS = "context"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
     num_data: Optional[int] = None,
     num_context: int = 1,
+    num_model: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, context) mesh over the available devices."""
+    """Build a (data, context, model) mesh over the available devices.
+
+    ``model`` is the tensor-parallel axis (Megatron-style: attention heads /
+    MLP hidden sharded across it, see :func:`param_sharding`); extent 1 by
+    default so 2-D callers are unaffected.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
-        num_data = len(devices) // num_context
-    assert num_data * num_context <= len(devices), (
-        f"mesh {num_data}x{num_context} exceeds {len(devices)} devices"
+        num_data = len(devices) // (num_context * num_model)
+    total = num_data * num_context * num_model
+    assert total <= len(devices), (
+        f"mesh {num_data}x{num_context}x{num_model} exceeds {len(devices)} devices"
     )
-    arr = np.asarray(devices[: num_data * num_context]).reshape(
-        num_data, num_context
-    )
-    return Mesh(arr, (DATA_AXIS, CONTEXT_AXIS))
+    arr = np.asarray(devices[:total]).reshape(num_data, num_context, num_model)
+    return Mesh(arr, (DATA_AXIS, CONTEXT_AXIS, MODEL_AXIS))
 
 
 def active_mesh() -> Optional[Mesh]:
@@ -101,39 +107,73 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def fsdp_sharding(mesh: Mesh, tree):
-    """FSDP/ZeRO-3-style sharding pytree for params or optimizer state.
+# Megatron-style tensor-parallel dims, keyed on the trailing param path.
+# Column-parallel weights (output dim sharded, no comm on the way in):
+# attention QKV, MLP up-projections. Row-parallel weights (input dim
+# sharded; XLA inserts the all-reduce on their output): attention out-proj,
+# MLP down-projections. Dims are negative to be agnostic to stacked-layer
+# leading axes (scanned blocks carry an extra (L, ...) dim).
+_TP_COLUMN = {"qkv": ("attn",), "fc1": (), "w12": ()}
+_TP_ROW = {"proj": ("attn",), "fc2": (), "w3": ()}
 
-    Each array leaf's LARGEST dim divisible by the data-axis extent is
-    sharded over ``data``; everything else is replicated. Under pjit, XLA
-    inserts the per-use all-gather (forward/backward) and keeps the
-    persistent buffer sharded — per-chip memory for params + Adam state
-    drops by ~the data extent, the standard TPU recipe for models whose
-    replicated train state exceeds one chip's HBM.
+
+def _tp_dim(path) -> Optional[int]:
+    keys = [k.key for k in path if hasattr(k, "key") and isinstance(k.key, str)]
+    if len(keys) < 2:
+        return None
+    parent, leaf = keys[-2], keys[-1]
+    anc = set(keys[:-1])
+
+    def guarded(table):
+        req = table.get(parent)
+        return req is not None and all(r in anc for r in req)
+
+    if guarded(_TP_COLUMN):
+        return -1  # w: (..., in, out) / b: (..., out)
+    if guarded(_TP_ROW) and leaf == "w":
+        return -2  # w: (..., in, out); bias of a row-parallel layer stays whole
+    return None
+
+
+def param_sharding(mesh: Mesh, tree, fsdp: bool = False, tp: bool = False):
+    """Composable sharding pytree for params / grads / optimizer state.
+
+    - ``tp``: tensor parallelism over ``model`` — Megatron column/row rules
+      on attention + MLP weights (``_tp_dim``); GSPMD propagation shards the
+      matching activations and inserts the output all-reduces, no model-code
+      changes needed.
+    - ``fsdp``: ZeRO-3 over ``data`` — each leaf's largest *remaining* dim
+      divisible by the data extent is sharded; XLA inserts per-use
+      all-gathers and keeps the persistent buffer sharded. Composes with tp
+      (a weight can be model-sharded on one dim and data-sharded on another).
     """
-    nd = mesh.shape.get(DATA_AXIS, 1)
+    nd = mesh.shape.get(DATA_AXIS, 1) if fsdp else 1
+    nm = mesh.shape.get(MODEL_AXIS, 1) if tp else 1
     MIN_SHARD_ELEMS = 1 << 16  # small leaves stay replicated: sharding them
     # saves nothing and forces awkward reshards in the backward pass
 
-    def leaf_sharding(x):
-        if (
-            nd <= 1
-            or not hasattr(x, "shape")
-            or x.ndim == 0
-            or int(np.prod(x.shape)) < MIN_SHARD_ELEMS
-        ):
+    def leaf_sharding(path, x):
+        if not hasattr(x, "shape") or x.ndim == 0:
             return NamedSharding(mesh, P())
-        dims = sorted(
-            range(x.ndim), key=lambda d: x.shape[d], reverse=True
-        )
-        for d in dims:
-            if x.shape[d] % nd == 0 and x.shape[d] >= nd:
-                spec = [None] * x.ndim
-                spec[d] = DATA_AXIS
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+        spec = [None] * x.ndim
+        if nm > 1:
+            d = _tp_dim(path)
+            if d is not None and x.shape[d] % nm == 0:
+                spec[d % x.ndim] = MODEL_AXIS
+        if nd > 1 and int(np.prod(x.shape)) >= MIN_SHARD_ELEMS:
+            dims = sorted(range(x.ndim), key=lambda d: x.shape[d], reverse=True)
+            for d in dims:
+                if spec[d] is None and x.shape[d] % nd == 0 and x.shape[d] >= nd:
+                    spec[d] = DATA_AXIS
+                    break
+        return NamedSharding(mesh, P(*spec))
 
-    return jax.tree.map(leaf_sharding, tree)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
+
+
+def fsdp_sharding(mesh: Mesh, tree):
+    """FSDP/ZeRO-3-style sharding pytree (see :func:`param_sharding`)."""
+    return param_sharding(mesh, tree, fsdp=True)
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

@@ -80,14 +80,15 @@ def init_train_state(key, model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
     }
 
 
-def init_train_state_sharded(key, model_cfg, train_cfg: TrainConfig, mesh):
-    """Init the train state directly into FSDP shardings on ``mesh`` — the
+def init_train_state_sharded(key, model_cfg, train_cfg: TrainConfig, mesh,
+                             fsdp: bool = True, tp: bool = False):
+    """Init the train state directly into FSDP/TP shardings on ``mesh`` — the
     replicated flagship state (params + Adam moments ~15.6 GB) exceeds one
     v5e chip's HBM, so it must never materialise unsharded."""
     from ..parallel import sharding as Sh
 
     shapes = jax.eval_shape(lambda k: init_train_state(k, model_cfg, train_cfg), key)
-    shardings = Sh.fsdp_sharding(mesh, shapes)
+    shardings = Sh.param_sharding(mesh, shapes, fsdp=fsdp, tp=tp)
     return jax.jit(
         lambda k: init_train_state(k, model_cfg, train_cfg),
         out_shardings=shardings,
@@ -152,11 +153,12 @@ def make_train_step(model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
             and mesh is not None
             and mesh.shape.get(Sh.DATA_AXIS, 1) > 1
         )
+        tp = mesh is not None and mesh.shape.get(Sh.MODEL_AXIS, 1) > 1
 
         def constrain_tree(tree):
-            if not fsdp:
+            if not (fsdp or tp):
                 return tree
-            sh = Sh.fsdp_sharding(mesh, tree)
+            sh = Sh.param_sharding(mesh, tree, fsdp=fsdp, tp=tp)
             return jax.tree.map(jax.lax.with_sharding_constraint, tree, sh)
 
         key = jax.random.fold_in(state["key"], state["step"])

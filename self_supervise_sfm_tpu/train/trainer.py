@@ -52,6 +52,7 @@ class TrainerConfig:
     sample_num: int = 10_000
     scenes_per_step_per_device: int = 1
     num_context: int = 1
+    num_model: int = 1  # tensor-parallel extent (Megatron heads/MLP sharding)
     prefetch: int = 4
     seed: int = 0
     checkpoint_every: int = 10_000
@@ -147,9 +148,15 @@ def run(cfg: TrainerConfig):
     os.makedirs(cfg.results_dir, exist_ok=True)
     devices = jax.devices()
     num_context = cfg.num_context
-    num_data = max(len(devices) // num_context, 1)
-    mesh = Sh.make_mesh(num_data=num_data, num_context=num_context)
-    print(f"mesh: data={num_data} context={num_context} ({devices[0].platform})")
+    num_model = cfg.num_model
+    num_data = max(len(devices) // (num_context * num_model), 1)
+    mesh = Sh.make_mesh(
+        num_data=num_data, num_context=num_context, num_model=num_model
+    )
+    print(
+        f"mesh: data={num_data} context={num_context} model={num_model} "
+        f"({devices[0].platform})"
+    )
 
     model_kw = {}
     if cfg.depth != 24:
@@ -169,23 +176,28 @@ def run(cfg: TrainerConfig):
     key = jax.random.PRNGKey(cfg.seed)
     ckpt = CheckpointManager(os.path.join(cfg.results_dir, "checkpoints"))
     fsdp = tcfg.fsdp and num_data > 1
+    tp = num_model > 1
     if cfg.pretrained:
         from ..utils import converter as C
 
         print(f"loading pretrained torch checkpoint: {cfg.pretrained}")
         sd = C.load_torch_state_dict(cfg.pretrained)
         params = C.convert_sailrecon(sd)
-        if fsdp:
-            params = jax.device_put(params, Sh.fsdp_sharding(mesh, params))
-        state = train_state_from_params(params, key, tcfg)
-        if fsdp:
-            state["opt_state"] = jax.device_put(
-                state["opt_state"], Sh.fsdp_sharding(mesh, state["opt_state"])
+        if fsdp or tp:
+            params = jax.device_put(
+                params, Sh.param_sharding(mesh, params, fsdp=fsdp, tp=tp)
             )
-    elif fsdp:
+        state = train_state_from_params(params, key, tcfg)
+        if fsdp or tp:
+            state["opt_state"] = jax.device_put(
+                state["opt_state"],
+                Sh.param_sharding(mesh, state["opt_state"], fsdp=fsdp, tp=tp),
+            )
+    elif fsdp or tp:
         from .loop import init_train_state_sharded
 
-        state = init_train_state_sharded(key, model_cfg, tcfg, mesh)
+        state = init_train_state_sharded(key, model_cfg, tcfg, mesh,
+                                         fsdp=fsdp, tp=tp)
     else:
         state = init_train_state(key, model_cfg, tcfg)
     if ckpt.latest_step() is not None:
@@ -267,6 +279,8 @@ def main():
     ap.add_argument("--sample-num", type=int, default=10_000)
     ap.add_argument("--img-size", type=int, default=518)
     ap.add_argument("--num-context", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel extent (model mesh axis)")
     ap.add_argument("--max-lr", type=float, default=2e-4)
     ap.add_argument("--warmup", type=int, default=2000)
     ap.add_argument("--pretrained", default="")
@@ -293,6 +307,7 @@ def main():
         sample_num=args.sample_num,
         img_size=args.img_size,
         num_context=args.num_context,
+        num_model=args.tp,
         pretrained=args.pretrained,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
