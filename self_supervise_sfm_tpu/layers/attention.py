@@ -131,6 +131,20 @@ def attention(
         (B, N, C).
     """
     q, k, v = qkv_heads(p, x, cfg, rope_cos_sin)
+    return attention_from_qkv(p, q, k, v, cfg, mask, extra_kv)
+
+
+def attention_from_qkv(
+    p,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cfg: AttentionConfig,
+    mask: Optional[jax.Array] = None,
+    extra_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """Attention core + output projection on pre-projected per-head q/k/v —
+    the entry point for the fused LN+QKV+rope kernel (``ops/fused_qkv``)."""
     o = None
     if (
         extra_kv is not None

@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from . import params as P
-from .attention import AttentionConfig, attention, init_attention, kv_heads
+from .attention import (
+    AttentionConfig, attention, attention_from_qkv, init_attention, kv_heads,
+)
 
 
 @dataclass(frozen=True)
@@ -28,6 +30,9 @@ class BlockConfig:
     ln_eps: float = 1e-5  # block layer norms (torch nn.LayerNorm default)
     init_values: float = 0.01  # layer-scale init
     attn_impl: str = "auto"
+    # LN+QKV+rope fusion (ops/fused_qkv): 'auto' = Pallas kernel on TPU when
+    # the block shape qualifies, 'on' forces it (tests), 'off' disables.
+    fused_qkv: str = "auto"
 
     @property
     def attn(self) -> AttentionConfig:
@@ -63,6 +68,42 @@ def mlp(p, x):
     return P.linear(p["fc2"], P.gelu(P.linear(p["fc1"], x)))
 
 
+def _fused_qkv_applicable(p, cfg: BlockConfig, x, rope_cos_sin) -> bool:
+    """Gate for the fused LN+QKV+rope kernel: TPU backend (or forced), 2D-rope
+    with shared (N, d) tables, qk-norm on, rope-compatible head dim, and no
+    active multi-axis mesh (pallas_call is opaque to GSPMD propagation)."""
+    if cfg.fused_qkv == "off":
+        return False
+    if cfg.fused_qkv != "on" and jax.default_backend() != "tpu":
+        return False
+    if rope_cos_sin is None or rope_cos_sin[0].ndim != 2:
+        return False
+    if not (cfg.qk_norm and "b" in p["attn"]["qkv"]):
+        return False
+    d = cfg.dim // cfg.num_heads
+    if cfg.dim % cfg.num_heads or d % 4:
+        return False
+    from ..parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and any(v > 1 for v in mesh.shape.values()):
+        return False
+    return True
+
+
+def _fused_qkv(p, x, cfg: BlockConfig, rope_cos_sin):
+    from ..ops.fused_qkv import fused_ln_qkv_rope
+
+    cos, sin = rope_cos_sin
+    return fused_ln_qkv_rope(
+        x, p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["w"], p["attn"]["qkv"]["b"],
+        p["attn"]["q_norm"]["scale"], p["attn"]["q_norm"]["bias"],
+        p["attn"]["k_norm"]["scale"], p["attn"]["k_norm"]["bias"],
+        cos, sin, cfg.num_heads, cfg.ln_eps,
+    )
+
+
 def block(
     p,
     x: jax.Array,
@@ -71,8 +112,12 @@ def block(
     mask: Optional[jax.Array] = None,
     extra_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
-    h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
-    a = attention(p["attn"], h, cfg.attn, rope_cos_sin, mask, extra_kv)
+    if _fused_qkv_applicable(p, cfg, x, rope_cos_sin):
+        q, k, v = _fused_qkv(p, x, cfg, rope_cos_sin)
+        a = attention_from_qkv(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
+    else:
+        h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
+        a = attention(p["attn"], h, cfg.attn, rope_cos_sin, mask, extra_kv)
     x = x + P.layer_scale(p["ls1"], a)
     h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
     x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
@@ -96,10 +141,14 @@ def block_with_context(
     attention rows / MLP are spent on it since those outputs are discarded.
     ``mask``'s KV axis is laid out as [context ‖ x].
     """
-    h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
     hc = P.layer_norm(p["norm1"], context, cfg.ln_eps)
     ekv = kv_heads(p["attn"], hc, cfg.attn, rope_ctx)
-    a = attention(p["attn"], h, cfg.attn, rope_q, mask, extra_kv=ekv)
+    if _fused_qkv_applicable(p, cfg, x, rope_q):
+        q, k, v = _fused_qkv(p, x, cfg, rope_q)
+        a = attention_from_qkv(p["attn"], q, k, v, cfg.attn, mask, extra_kv=ekv)
+    else:
+        h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
+        a = attention(p["attn"], h, cfg.attn, rope_q, mask, extra_kv=ekv)
     x = x + P.layer_scale(p["ls1"], a)
     h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
     x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))

@@ -1,0 +1,231 @@
+"""Fused LayerNorm + QKV projection + qk-norm + 2D-RoPE Pallas kernel.
+
+Profiling the 518px inference step (see CLAUDE.md perf notes) showed ~45% of
+device time in bandwidth-bound elementwise/formatting ops, dominated by the
+unfused pre-attention chain: LN write+read, the (B, N, 3C) QKV intermediate,
+the head-split transpose, and the RoPE applies — whose half-head (…, 32)
+intermediates tile terribly on TPU ((8, 128) native tiles ⇒ 75% of each tile
+wasted, ~14% of HBM bandwidth achieved).
+
+This kernel does the whole chain in VMEM per (batch, token-block) grid step:
+
+    x (bn, C) ─LN→ ─@W_qkv→ (bn, 3C) ─per-head: qk-norm, rope─→
+        q, k, v written directly in the (B, H, N, d) layout flash attention
+        consumes.
+
+HBM traffic per attention site drops from ~7 full-tensor passes (several
+badly tiled) to: read x + W once, write q/k/v once. Numerics follow the
+unfused path op-for-op (f32 LN stats, bf16 matmul with f32 accumulate
+rounded to bf16, bf16 rope with bf16 cos/sin), golden-tested against it.
+
+The public entry :func:`fused_ln_qkv_rope` carries a ``jax.custom_vjp``
+whose backward differentiates the (numerically matching) unfused reference —
+so the fused forward is usable inside the training step.
+
+Reference chain being fused: ``sailrecon/layers/block.py:85-89`` (pre-LN) +
+``layers/attention.py:70-102`` (QKV, qk-norm, rope).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _ln_rows(x32, scale, bias, eps):
+    """Row-wise layer norm in f32 (matches layers/params.py:layer_norm)."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _rope_rows(t, cos, sin):
+    """2D rope on (bn, d) rows; quarters (-t2, t1, -t4, t3) — the in-VMEM
+    form of layers/rope.py:apply_rope (two halves, rotate-half within each).
+    """
+    qd = t.shape[-1] // 4
+    t1 = t[:, :qd]
+    t2 = t[:, qd : 2 * qd]
+    t3 = t[:, 2 * qd : 3 * qd]
+    t4 = t[:, 3 * qd :]
+    rot = jnp.concatenate([-t2, t1, -t4, t3], axis=-1)
+    return t * cos + rot * sin
+
+
+def _kernel(
+    x_ref, lnw_ref, lnb_ref, w_ref, b_ref,
+    qnw_ref, qnb_ref, knw_ref, knb_ref, cos_ref, sin_ref,
+    q_ref, k_ref, v_ref,
+    *, nh: int, d: int, eps: float,
+):
+    x = x_ref[0].astype(jnp.float32)  # (bn, C)
+    h = _ln_rows(x, lnw_ref[0], lnb_ref[0], eps).astype(w_ref.dtype)
+    qkv = jax.lax.dot_general(
+        h, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # match the unfused linear(): bf16 matmul output, bias added in bf16
+    qkv = qkv.astype(q_ref.dtype) + b_ref[0].astype(q_ref.dtype)  # (bn, 3C)
+
+    cos = cos_ref[...].astype(q_ref.dtype)  # (bn, d)
+    sin = sin_ref[...].astype(q_ref.dtype)
+    C = nh * d
+    for hh in range(nh):
+        qh = qkv[:, hh * d : (hh + 1) * d]
+        kh = qkv[:, C + hh * d : C + (hh + 1) * d]
+        vh = qkv[:, 2 * C + hh * d : 2 * C + (hh + 1) * d]
+        qh = _ln_rows(qh.astype(jnp.float32), qnw_ref[0], qnb_ref[0], eps)
+        kh = _ln_rows(kh.astype(jnp.float32), knw_ref[0], knb_ref[0], eps)
+        qh = _rope_rows(qh.astype(q_ref.dtype), cos, sin)
+        kh = _rope_rows(kh.astype(q_ref.dtype), cos, sin)
+        q_ref[0, hh] = qh
+        k_ref[0, hh] = kh
+        v_ref[0, hh] = vh
+
+
+def fused_qkv_kernel(
+    x: jax.Array,  # (B, N, C)
+    ln_scale: jax.Array, ln_bias: jax.Array,  # (C,)
+    w: jax.Array, b: jax.Array,  # (C, 3C), (3C,)
+    qn_scale: jax.Array, qn_bias: jax.Array,  # (d,)
+    kn_scale: jax.Array, kn_bias: jax.Array,  # (d,)
+    cos: jax.Array, sin: jax.Array,  # (N, d) f32
+    num_heads: int,
+    eps: float = 1e-5,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Raw kernel invocation; returns (q, k, v) each (B, H, N, d)."""
+    B, N, C = x.shape
+    nh = num_heads
+    d = C // nh
+    bn = min(block_n, _cdiv(N, 1))
+    grid = (B, _cdiv(N, bn))
+
+    const = lambda *_: (0, 0)  # noqa: E731
+    kern = functools.partial(_kernel, nh=nh, d=d, eps=eps)
+    q, k, v = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bn, C), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((C, 3 * C), const),
+            pl.BlockSpec((1, 3 * C), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((bn, d), lambda bi, ni: (ni, 0)),
+            pl.BlockSpec((bn, d), lambda bi, ni: (ni, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nh, bn, d), lambda bi, ni: (bi, 0, ni, 0)),
+            pl.BlockSpec((1, nh, bn, d), lambda bi, ni: (bi, 0, ni, 0)),
+            pl.BlockSpec((1, nh, bn, d), lambda bi, ni: (bi, 0, ni, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nh, N, d), x.dtype) for _ in range(3)
+        ],
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, C).astype(jnp.float32),
+        ln_bias.reshape(1, C).astype(jnp.float32),
+        w.astype(x.dtype),
+        b.reshape(1, 3 * C).astype(jnp.float32),
+        qn_scale.reshape(1, d).astype(jnp.float32),
+        qn_bias.reshape(1, d).astype(jnp.float32),
+        kn_scale.reshape(1, d).astype(jnp.float32),
+        kn_bias.reshape(1, d).astype(jnp.float32),
+        cos.astype(jnp.float32),
+        sin.astype(jnp.float32),
+    )
+    return q, k, v
+
+
+def reference_qkv(
+    x, ln_scale, ln_bias, w, b, qn_scale, qn_bias, kn_scale, kn_bias,
+    cos, sin, num_heads: int, eps: float = 1e-5,
+):
+    """The unfused chain (layers/block.py + layers/attention.py semantics),
+    self-contained for the custom-vjp backward and golden tests."""
+    B, N, C = x.shape
+    d = C // num_heads
+    dt = x.dtype
+
+    def ln(t, s, bb):
+        t32 = t.astype(jnp.float32)
+        mu = jnp.mean(t32, -1, keepdims=True)
+        var = jnp.var(t32, -1, keepdims=True)
+        return ((t32 - mu) * jax.lax.rsqrt(var + eps) * s + bb).astype(dt)
+
+    h = ln(x, ln_scale, ln_bias)
+    qkv = h @ w.astype(dt) + b.astype(dt)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, N, num_heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    q = ln(q, qn_scale, qn_bias)
+    k = ln(k, kn_scale, kn_bias)
+
+    def rope(t):
+        c = cos.astype(dt)
+        s = sin.astype(dt)
+        qd = d // 4
+        t1, t2 = t[..., :qd], t[..., qd : 2 * qd]
+        t3, t4 = t[..., 2 * qd : 3 * qd], t[..., 3 * qd :]
+        rot = jnp.concatenate([-t2, t1, -t4, t3], axis=-1)
+        return t * c + rot * s
+
+    return rope(q), rope(k), v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def fused_ln_qkv_rope(
+    x, ln_scale, ln_bias, w, b, qn_scale, qn_bias, kn_scale, kn_bias,
+    cos, sin, num_heads: int, eps: float = 1e-5, block_n: int = 256,
+):
+    """(q, k, v) in (B, H, N, d) layout — Pallas-fused on TPU, reference
+    chain elsewhere. Differentiable: the backward is the VJP of the
+    numerically matching unfused chain."""
+    if jax.default_backend() == "tpu":
+        return fused_qkv_kernel(
+            x, ln_scale, ln_bias, w, b, qn_scale, qn_bias, kn_scale, kn_bias,
+            cos, sin, num_heads, eps, block_n,
+        )
+    return reference_qkv(
+        x, ln_scale, ln_bias, w, b, qn_scale, qn_bias, kn_scale, kn_bias,
+        cos, sin, num_heads, eps,
+    )
+
+
+def _fwd(x, ln_scale, ln_bias, w, b, qn_scale, qn_bias, kn_scale, kn_bias,
+         cos, sin, num_heads, eps, block_n):
+    out = fused_ln_qkv_rope(
+        x, ln_scale, ln_bias, w, b, qn_scale, qn_bias, kn_scale, kn_bias,
+        cos, sin, num_heads, eps, block_n,
+    )
+    return out, (x, ln_scale, ln_bias, w, b, qn_scale, qn_bias, kn_scale,
+                 kn_bias, cos, sin)
+
+
+def _bwd(num_heads, eps, block_n, res, g):
+    ref = functools.partial(reference_qkv, num_heads=num_heads, eps=eps)
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+fused_ln_qkv_rope.defvjp(_fwd, _bwd)
