@@ -145,6 +145,22 @@ def attention_from_qkv(
 ) -> jax.Array:
     """Attention core + output projection on pre-projected per-head q/k/v —
     the entry point for the fused LN+QKV+rope kernel (``ops/fused_qkv``)."""
+    o = attention_heads_out(p, q, k, v, cfg, mask, extra_kv)
+    o = _merge_heads(o)
+    return P.linear(p["proj"], o)
+
+
+def attention_heads_out(
+    p,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cfg: AttentionConfig,
+    mask: Optional[jax.Array] = None,
+    extra_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """The attention core alone: (B, H, N, d) per-head outputs, no merge /
+    projection — consumed by the fused out-projection kernel."""
     o = None
     if (
         extra_kv is not None
@@ -164,5 +180,4 @@ def attention_from_qkv(
             k = jnp.concatenate([ek.astype(k.dtype), k], axis=2)
             v = jnp.concatenate([ev.astype(v.dtype), v], axis=2)
         o = attention_core.sdpa(q, k, v, mask=mask, impl=cfg.impl)
-    o = _merge_heads(o)
-    return P.linear(p["proj"], o)
+    return o

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from . import params as P
 from .attention import (
-    AttentionConfig, attention, attention_from_qkv, init_attention, kv_heads,
+    AttentionConfig, attention, attention_from_qkv, attention_heads_out,
+    init_attention, kv_heads,
 )
 
 
@@ -104,6 +105,15 @@ def _fused_qkv(p, x, cfg: BlockConfig, rope_cos_sin):
     )
 
 
+def _fused_proj_residual(p, o, x):
+    from ..ops.fused_qkv import fused_proj_residual
+
+    return fused_proj_residual(
+        o, x, p["attn"]["proj"]["w"], p["attn"]["proj"]["b"],
+        p["ls1"]["gamma"],
+    )
+
+
 def block(
     p,
     x: jax.Array,
@@ -114,11 +124,12 @@ def block(
 ) -> jax.Array:
     if _fused_qkv_applicable(p, cfg, x, rope_cos_sin):
         q, k, v = _fused_qkv(p, x, cfg, rope_cos_sin)
-        a = attention_from_qkv(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
+        o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
+        x = _fused_proj_residual(p, o, x)
     else:
         h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
         a = attention(p["attn"], h, cfg.attn, rope_cos_sin, mask, extra_kv)
-    x = x + P.layer_scale(p["ls1"], a)
+        x = x + P.layer_scale(p["ls1"], a)
     h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
     x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
     return x
@@ -145,11 +156,12 @@ def block_with_context(
     ekv = kv_heads(p["attn"], hc, cfg.attn, rope_ctx)
     if _fused_qkv_applicable(p, cfg, x, rope_q):
         q, k, v = _fused_qkv(p, x, cfg, rope_q)
-        a = attention_from_qkv(p["attn"], q, k, v, cfg.attn, mask, extra_kv=ekv)
+        o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv=ekv)
+        x = _fused_proj_residual(p, o, x)
     else:
         h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
         a = attention(p["attn"], h, cfg.attn, rope_q, mask, extra_kv=ekv)
-    x = x + P.layer_scale(p["ls1"], a)
+        x = x + P.layer_scale(p["ls1"], a)
     h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
     x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
     return x

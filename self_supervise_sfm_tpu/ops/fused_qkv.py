@@ -229,3 +229,87 @@ def _bwd(num_heads, eps, block_n, res, g):
 
 
 fused_ln_qkv_rope.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused merge-heads + out-projection + layer-scale + residual
+# ---------------------------------------------------------------------------
+
+
+def _proj_kernel(o_ref, x_ref, w_ref, b_ref, ls_ref, y_ref, *, nh: int, d: int):
+    # merge heads in VMEM: (H, bn, d) -> (bn, H*d)
+    m = jnp.concatenate([o_ref[0, h] for h in range(nh)], axis=-1)
+    y = jax.lax.dot_general(
+        m, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+    y = y + b_ref[0].astype(y_ref.dtype)
+    y_ref[0] = x_ref[0] + y * ls_ref[0].astype(y_ref.dtype)
+
+
+def fused_proj_kernel(
+    o: jax.Array,  # (B, H, N, d) attention head outputs
+    x_res: jax.Array,  # (B, N, C) residual stream
+    w: jax.Array, b: jax.Array,  # (C, C), (C,)
+    ls_gamma: jax.Array,  # (C,) layer-scale
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = x_res + layer_scale(merge_heads(o) @ w + b), fused in VMEM —
+    removes the head-merge transpose and the projection intermediates from
+    HBM (the post-attention half of the unfused chain)."""
+    B, nh, N, d = o.shape
+    C = nh * d
+    bn = min(block_n, N)
+    grid = (B, _cdiv(N, bn))
+    const = lambda *_: (0, 0)  # noqa: E731
+    kern = functools.partial(_proj_kernel, nh=nh, d=d)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, nh, bn, d), lambda bi, ni: (bi, 0, ni, 0)),
+            pl.BlockSpec((1, bn, C), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((C, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+        ],
+        out_specs=pl.BlockSpec((1, bn, C), lambda bi, ni: (bi, ni, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x_res.dtype),
+        interpret=interpret,
+    )(
+        o, x_res,
+        w.astype(x_res.dtype),
+        b.reshape(1, C).astype(jnp.float32),
+        ls_gamma.reshape(1, C).astype(jnp.float32),
+    )
+
+
+def reference_proj(o, x_res, w, b, ls_gamma):
+    """Unfused chain: merge heads, linear, layer-scale, residual add —
+    matches layers/attention.py:_merge_heads + P.linear + P.layer_scale."""
+    B, nh, N, d = o.shape
+    m = o.transpose(0, 2, 1, 3).reshape(B, N, nh * d)
+    dt = x_res.dtype
+    y = m @ w.astype(dt) + b.astype(dt)
+    return x_res + y * ls_gamma.astype(dt)
+
+
+@jax.custom_vjp
+def fused_proj_residual(o, x_res, w, b, ls_gamma):
+    """Pallas-fused on TPU, reference elsewhere; differentiable."""
+    if jax.default_backend() == "tpu":
+        return fused_proj_kernel(o, x_res, w, b, ls_gamma)
+    return reference_proj(o, x_res, w, b, ls_gamma)
+
+
+def _proj_fwd(o, x_res, w, b, ls_gamma):
+    return fused_proj_residual(o, x_res, w, b, ls_gamma), (o, x_res, w, b, ls_gamma)
+
+
+def _proj_bwd(res, g):
+    _, vjp = jax.vjp(reference_proj, *res)
+    return vjp(g)
+
+
+fused_proj_residual.defvjp(_proj_fwd, _proj_bwd)

@@ -100,6 +100,49 @@ class TestFusedQKVKernel:
         np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-5)
 
 
+class TestFusedProj:
+    @pytest.mark.parametrize("N", [256, 300])
+    def test_kernel_matches_reference(self, rng, N):
+        B, nh, d = 2, 4, 32
+        C = nh * d
+        o = jnp.asarray(rng.normal(size=(B, nh, N, d)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+        w = jnp.asarray(rng.normal(scale=C**-0.5, size=(C, C)), jnp.float32)
+        b = jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32)
+        ls = jnp.asarray(0.01 * rng.normal(size=(C,)), jnp.float32)
+        ref = FQ.reference_proj(o, x, w, b, ls)
+        got = FQ.fused_proj_kernel(o, x, w, b, ls, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_reference_matches_production_chain(self, rng):
+        B, nh, N, d = 1, 4, 100, 32
+        C = nh * d
+        o = jnp.asarray(rng.normal(size=(B, nh, N, d)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+        proj = {"w": jnp.asarray(rng.normal(size=(C, C)), jnp.float32),
+                "b": jnp.asarray(rng.normal(size=(C,)), jnp.float32)}
+        ls = {"gamma": jnp.asarray(0.01 * rng.normal(size=(C,)), jnp.float32)}
+        ref = FQ.reference_proj(o, x, proj["w"], proj["b"], ls["gamma"])
+        m = A._merge_heads(o)
+        prod = x + P.layer_scale(ls, P.linear(proj, m))
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(prod), atol=1e-6)
+
+    def test_gradients(self, rng):
+        B, nh, N, d = 1, 2, 64, 16
+        C = nh * d
+        o = jnp.asarray(rng.normal(size=(B, nh, N, d)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(C, C)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+        ls = jnp.asarray(0.01 * rng.normal(size=(C,)), jnp.float32)
+        g1 = jax.grad(lambda *a: jnp.sum(FQ.fused_proj_residual(*a) ** 2),
+                      argnums=(0, 1, 2))(o, x, w, b, ls)
+        g2 = jax.grad(lambda *a: jnp.sum(FQ.reference_proj(*a) ** 2),
+                      argnums=(0, 1, 2))(o, x, w, b, ls)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+
+
 class TestBlockIntegration:
     def test_block_fused_flag_matches_unfused(self, rng):
         """block() with fused_qkv='on' (reference dispatch off-TPU) must equal
