@@ -7,9 +7,13 @@ bf16 trunk with fp32 heads. Metric: query frames fully reconstructed
 (pose + intrinsics + depth + point map + unprojection) per second per chip.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-comparison is against the hardware speed-of-light — achieved FLOP/s over the
-chip's peak bf16 FLOP/s (i.e. MFU), using XLA's own cost analysis for the
-FLOP count.
+baseline is the same model/config executed as a straight XLA program with
+dense attention and no Pallas kernels — i.e. the faithful "naive port" of
+the reference — measured at 0.75 frames/s on this chip (see CLAUDE.md perf
+history). ``trunk_tflops`` reports achieved TFLOP/s against an *analytic*
+FLOP count of the ViT+aggregator trunk (matmuls + actual attention; XLA's
+cost analysis can't be used — it counts scan bodies once and can't see
+inside Pallas kernels).
 """
 
 import json
@@ -28,12 +32,39 @@ import numpy as np
 
 # v5e (TPU v5 lite) peak bf16 matmul throughput per chip
 PEAK_BF16_FLOPS = 197e12
+# same model/config, dense XLA attention, no Pallas kernels, on this chip
+DENSE_XLA_BASELINE_FPS = 0.75
 
 NUM_FRAMES = 5
 IMG = 518
 RANK = 300
 WARMUP = 1
 ITERS = 5
+
+
+def trunk_flops_analytic(S: int, P: int, C: int, L: int, rank: int) -> float:
+    """Matmul + attention FLOPs of one inference step's trunk.
+
+    ViT runs on the S unique frames (duplicated layout); the aggregator's
+    L layers each apply a frame block (2S frames), a global block (S·P
+    anchor tokens) and a reloc block (S·P query tokens vs the S·(rank+5)
+    compressed scene + own frame). Attention counted as executed (the
+    reloc self part is per-frame block-diagonal), 4·T_q·T_k·C per site.
+    """
+    H = 16  # attention FLOPs depend only on C = H*d via 4*Tq*Tk*C
+    mm = lambda T, a, b: 2.0 * T * a * b  # noqa: E731
+    per_tok = mm(1, C, 3 * C) + mm(1, C, C) + 2 * mm(1, C, 4 * C)
+    R5 = rank + 5
+    vit = L * (S * P) * per_tok
+    agg = L * ((2 * S * P + S * P + S * P) * per_tok + mm(S * R5, C, 2 * C))
+    attn = (
+        L * S * 4.0 * P * P * C            # ViT self-attention
+        + L * 2 * S * 4.0 * P * P * C      # frame attention
+        + L * 4.0 * (S * P) ** 2 * C       # global attention
+        + L * S * 4.0 * P * (S * R5 + P) * C  # reloc: ctx + own frame
+    )
+    patch_embed = S * P * mm(1, 14 * 14 * 3, C)
+    return vit + agg + attn + patch_embed
 
 
 def main():
@@ -84,25 +115,8 @@ def main():
     lowered = jfn.lower(params, images, key)
     compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
-    try:
-        flops = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        flops = float("nan")
-    # XLA's cost analysis cannot see inside Pallas kernels: add the analytic
-    # attention FLOPs (4*B*H*Nq*Nk*d per site; reloc counted dense-equivalent)
-    S = NUM_FRAMES
     P = (IMG // 14) ** 2 + 5
-    R5 = RANK + 5
-    per_frame_attn = 4 * 16 * P * P * 64
-    flash_flops = (
-        24 * S * per_frame_attn                # ViT (dedup: S unique frames)
-        + 24 * 2 * S * per_frame_attn          # frame attention (2S frames)
-        + 24 * 4 * 16 * (S * P) ** 2 * 64      # global attention
-        + 24 * 4 * 16 * (S * P) * (S * R5 + S * P) * 64  # reloc attention
-    )
-    # XLA cost analysis counts a while-loop body ONCE (trip count opaque),
-    # so `flops` is already per-step; flash flops are per step too
-    flops = flops + flash_flops
+    flops = trunk_flops_analytic(NUM_FRAMES, P, 1024, 24, RANK)
 
     for _ in range(WARMUP):
         float(compiled(params, images, key))
@@ -115,18 +129,22 @@ def main():
     dt = float(np.median(times))
 
     frames_per_sec = NUM_FRAMES / dt
-    mfu = (flops / dt) / PEAK_BF16_FLOPS if np.isfinite(flops) else None
     print(
         json.dumps(
             {
                 "metric": "frames/sec/chip (full-head 518px inference, 5-frame scene)",
                 "value": round(frames_per_sec, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(mfu, 4) if mfu is not None else None,
-                "baseline_definition": "MFU vs chip peak bf16 (no reference-published numbers)",
+                "vs_baseline": round(frames_per_sec / DENSE_XLA_BASELINE_FPS, 2),
+                "baseline_definition": (
+                    "speedup over the same model as a dense-attention XLA "
+                    "program, no Pallas kernels (the faithful naive port; "
+                    "reference publishes no numbers)"
+                ),
                 "step_seconds": round(dt, 4),
                 "compile_seconds": round(compile_s, 1),
-                "xla_flops": flops,
+                "trunk_tflops": round(flops / dt / 1e12, 1),
+                "trunk_mfu": round(flops / dt / PEAK_BF16_FLOPS, 4),
                 "device": str(dev),
             }
         )

@@ -34,6 +34,8 @@ class BlockConfig:
     # LN+QKV+rope fusion (ops/fused_qkv): 'auto' = Pallas kernel on TPU when
     # the block shape qualifies, 'on' forces it (tests), 'off' disables.
     fused_qkv: str = "auto"
+    # MLP fusion (LN2+fc1+gelu / fc2+ls+residual kernels), same tri-state.
+    fused_mlp: str = "auto"
 
     @property
     def attn(self) -> AttentionConfig:
@@ -84,6 +86,9 @@ def _fused_qkv_applicable(p, cfg: BlockConfig, x, rope_cos_sin) -> bool:
     d = cfg.dim // cfg.num_heads
     if cfg.dim % cfg.num_heads or d % 4:
         return False
+    # bf16 trunk only on TPU: f32 weights would blow the VMEM budget
+    if cfg.fused_qkv != "on" and x.dtype != jnp.bfloat16:
+        return False
     from ..parallel.sharding import active_mesh
 
     mesh = active_mesh()
@@ -114,6 +119,43 @@ def _fused_proj_residual(p, o, x):
     )
 
 
+def _fused_mlp_applicable(p, cfg: BlockConfig, x) -> bool:
+    if cfg.fused_mlp == "off":
+        return False
+    if cfg.fused_mlp != "on" and jax.default_backend() != "tpu":
+        return False
+    if "fc1" not in p["mlp"] or "b" not in p["mlp"]["fc1"]:
+        return False
+    # bf16 trunk only (fp32 heads keep the reference AMP boundary), and the
+    # up-projection weight must fit VMEM alongside the token block
+    if cfg.fused_mlp != "on":
+        if x.dtype != jnp.bfloat16:
+            return False
+        if 2 * cfg.dim * cfg.mlp_hidden > 9 * 2**20:
+            return False
+    from ..parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and any(v > 1 for v in mesh.shape.values()):
+        return False
+    return True
+
+
+def _mlp_residual(p, x, cfg: BlockConfig):
+    """LN2 + MLP + layer-scale + residual: Pallas-fused when applicable."""
+    if _fused_mlp_applicable(p, cfg, x):
+        from ..ops.fused_qkv import fused_mlp_residual
+
+        return fused_mlp_residual(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
+            p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
+            p["ls2"]["gamma"], cfg.ln_eps,
+        )
+    h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
+    return x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
+
+
 def block(
     p,
     x: jax.Array,
@@ -130,9 +172,7 @@ def block(
         h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
         a = attention(p["attn"], h, cfg.attn, rope_cos_sin, mask, extra_kv)
         x = x + P.layer_scale(p["ls1"], a)
-    h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
-    x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
-    return x
+    return _mlp_residual(p, x, cfg)
 
 
 def block_with_context(
@@ -162,9 +202,7 @@ def block_with_context(
         h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
         a = attention(p["attn"], h, cfg.attn, rope_q, mask, extra_kv=ekv)
         x = x + P.layer_scale(p["ls1"], a)
-    h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
-    x = x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
-    return x
+    return _mlp_residual(p, x, cfg)
 
 
 def block_context_kv(

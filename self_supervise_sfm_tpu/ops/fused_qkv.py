@@ -313,3 +313,145 @@ def _proj_bwd(res, g):
 
 
 fused_proj_residual.defvjp(_proj_fwd, _proj_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused MLP: [LN2 + fc1 + GELU] and [fc2 + layer-scale + residual]
+# ---------------------------------------------------------------------------
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |err| < 1.5e-7 — Mosaic has
+    no erf/erfc lowering; at bf16 output precision this is exact."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x32):
+    return 0.5 * x32 * (1.0 + _erf(x32 * (2.0**-0.5)))
+
+
+def _mlp_up_kernel(x_ref, lnw_ref, lnb_ref, w_ref, b_ref, h_ref, *, eps):
+    x = x_ref[0].astype(jnp.float32)
+    hn = _ln_rows(x, lnw_ref[0], lnb_ref[0], eps).astype(w_ref.dtype)
+    h = jax.lax.dot_general(
+        hn, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(h_ref.dtype)
+    h = h + b_ref[0].astype(h_ref.dtype)
+    h_ref[0] = _gelu_exact(h.astype(jnp.float32)).astype(h_ref.dtype)
+
+
+def _mlp_down_kernel(h_ref, x_ref, w_ref, b_ref, ls_ref, y_ref):
+    y = jax.lax.dot_general(
+        h_ref[0], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+    y = y + b_ref[0].astype(y_ref.dtype)
+    y_ref[0] = x_ref[0] + y * ls_ref[0].astype(y_ref.dtype)
+
+
+def fused_mlp_kernel(
+    x: jax.Array,  # (B, N, C) residual stream
+    ln_scale, ln_bias,  # (C,)
+    w1, b1,  # (C, Ch), (Ch,)
+    w2, b2,  # (Ch, C), (C,)
+    ls_gamma,  # (C,)
+    eps: float = 1e-5,
+    block_n: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = x + layer_scale(fc2(gelu(fc1(LN(x))))) as two Pallas kernels.
+
+    The hidden (B, N, Ch) crosses HBM exactly once (vs LN + gelu round
+    trips and the frame/global reshape copies on the unfused path); weights
+    stay VMEM-resident across token blocks.
+    """
+    B, N, C = x.shape
+    Ch = w1.shape[1]
+    bn = min(block_n, N)
+    grid = (B, _cdiv(N, bn))
+    const = lambda *_: (0, 0)  # noqa: E731
+
+    h = pl.pallas_call(
+        functools.partial(_mlp_up_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bn, C), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((C, Ch), const),
+            pl.BlockSpec((1, Ch), const),
+        ],
+        out_specs=pl.BlockSpec((1, bn, Ch), lambda bi, ni: (bi, ni, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, Ch), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, C).astype(jnp.float32),
+        ln_bias.reshape(1, C).astype(jnp.float32),
+        w1.astype(x.dtype),
+        b1.reshape(1, Ch).astype(jnp.float32),
+    )
+    return pl.pallas_call(
+        _mlp_down_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bn, Ch), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, bn, C), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((Ch, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+        ],
+        out_specs=pl.BlockSpec((1, bn, C), lambda bi, ni: (bi, ni, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        interpret=interpret,
+    )(
+        h, x,
+        w2.astype(x.dtype),
+        b2.reshape(1, C).astype(jnp.float32),
+        ls_gamma.reshape(1, C).astype(jnp.float32),
+    )
+
+
+def reference_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ls_gamma, eps=1e-5):
+    """Unfused chain matching layers/block.py: LN2 -> mlp -> ls2 -> residual."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.var(x32, -1, keepdims=True)
+    hn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(dt)
+    h = hn @ w1.astype(dt) + b1.astype(dt)
+    h = jax.nn.gelu(h, approximate=False)
+    y = h @ w2.astype(dt) + b2.astype(dt)
+    return x + y * ls_gamma.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, ls_gamma,
+                       eps: float = 1e-5):
+    """Pallas-fused on TPU, reference elsewhere; differentiable."""
+    if jax.default_backend() == "tpu":
+        return fused_mlp_kernel(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                ls_gamma, eps)
+    return reference_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ls_gamma, eps)
+
+
+def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ls_gamma, eps):
+    out = fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, ls_gamma, eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, ls_gamma)
+
+
+def _mlp_bwd(eps, res, g):
+    ref = functools.partial(reference_mlp, eps=eps)
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+fused_mlp_residual.defvjp(_mlp_fwd, _mlp_bwd)

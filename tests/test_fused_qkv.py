@@ -143,6 +143,48 @@ class TestFusedProj:
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
 
 
+class TestFusedMLP:
+    def _inputs(self, rng, B=2, N=300, C=64, Ch=256, dtype=jnp.float32):
+        x = jnp.asarray(rng.normal(size=(B, N, C)), dtype)
+        return x, (
+            jnp.asarray(1 + 0.1 * rng.normal(size=(C,)), jnp.float32),
+            jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32),
+            jnp.asarray(rng.normal(scale=C**-0.5, size=(C, Ch)), jnp.float32),
+            jnp.asarray(0.1 * rng.normal(size=(Ch,)), jnp.float32),
+            jnp.asarray(rng.normal(scale=Ch**-0.5, size=(Ch, C)), jnp.float32),
+            jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32),
+            jnp.asarray(0.01 * rng.normal(size=(C,)), jnp.float32),
+        )
+
+    def test_kernel_matches_reference(self, rng):
+        x, args = self._inputs(rng)
+        ref = FQ.reference_mlp(x, *args)
+        got = FQ.fused_mlp_kernel(x, *args, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_reference_matches_production_chain(self, rng):
+        from self_supervise_sfm_tpu.layers.block import mlp
+
+        x, args = self._inputs(rng)
+        ln_s, ln_b, w1, b1, w2, b2, ls = args
+        ref = FQ.reference_mlp(x, *args)
+        h = P.layer_norm({"scale": ln_s, "bias": ln_b}, x)
+        prod = x + P.layer_scale(
+            {"gamma": ls},
+            mlp({"fc1": {"w": w1, "b": b1}, "fc2": {"w": w2, "b": b2}}, h),
+        )
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(prod), atol=1e-6)
+
+    def test_gradients(self, rng):
+        x, args = self._inputs(rng, B=1, N=64, C=32, Ch=64)
+        g1 = jax.grad(lambda *a: jnp.sum(FQ.fused_mlp_residual(*a) ** 2),
+                      argnums=(0, 3, 5))(x, *args)
+        g2 = jax.grad(lambda *a: jnp.sum(FQ.reference_mlp(*a) ** 2),
+                      argnums=(0, 3, 5))(x, *args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 class TestBlockIntegration:
     def test_block_fused_flag_matches_unfused(self, rng):
         """block() with fused_qkv='on' (reference dispatch off-TPU) must equal
@@ -151,9 +193,9 @@ class TestBlockIntegration:
 
         C, nh, N = 128, 4, 200
         cfg_on = BlockConfig(dim=C, num_heads=nh, qk_norm=True, fused_qkv="on",
-                             attn_impl="dense")
+                             fused_mlp="on", attn_impl="dense")
         cfg_off = BlockConfig(dim=C, num_heads=nh, qk_norm=True, fused_qkv="off",
-                              attn_impl="dense")
+                              fused_mlp="off", attn_impl="dense")
         p = init_block(jax.random.PRNGKey(0), cfg_on)
         # init_linear has no bias randomisation; give qkv a nonzero bias
         p["attn"]["qkv"]["b"] = jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32)
