@@ -83,17 +83,24 @@ def _kernel(
         # saved lse converts back to natural log at finalize.
         q = q_ref[0]  # (bq, d)
         k = k_ref[0]  # (bk, d)
+        # key rows past nk_valid are OOB reads of the (unpadded) input —
+        # Pallas leaves their contents undefined, so v must be zeroed (p has
+        # exact zeros there, but 0 * undefined could still be nan) and s
+        # forced with a select rather than an additive bias (undefined inf
+        # would survive `+ NEG_INF` and poison the running row max).
+        k_row = k0 + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+        v = jnp.where(k_row < nk_valid, v_ref[0], 0.0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)  # (bq, bk), log2-scaled
 
+        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         if mask is not None:
-            k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             allowed = mask.allowed(q_idx, k_idx) & (k_idx < nk_valid)
-            s = jnp.where(allowed, s, NEG_INF)
         else:
-            s = s + _edge_bias(k0, bk, nk_valid)
+            allowed = k_idx < nk_valid
+        s = jnp.where(allowed, s, NEG_INF)
 
         m_prev = m_scratch[:, 0:1]  # (bq, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -105,7 +112,7 @@ def _kernel(
         m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scratch[:] = acc_scratch[:] * alpha + pv
@@ -125,20 +132,18 @@ def _flash_fwd(
     bq: int, bk: int,
     interpret: bool,
 ) -> jax.Array:
-    """q: (BH, Nq, d); k/v: (BH, Nk, d). Returns (BH, Nq, d)."""
+    """q: (BH, Nq, d); k/v: (BH, Nk, d). Returns (BH, Nq, d).
+
+    Inputs are consumed UNPADDED: Pallas masks out-of-bounds stores on the
+    ragged last tiles and the kernel guards all OOB *reads* (key select +
+    v zeroing; garbage query rows only produce garbage output rows, which
+    are never stored) — no pad/slice HBM copies around the kernel.
+    """
     BH, Nq, d = q.shape
     Nk = k.shape[1]
     sm_scale = 1.0 / (d**0.5)
 
-    nq_pad = _cdiv(Nq, bq) * bq
-    nk_pad = _cdiv(Nk, bk) * bk
-    if nq_pad != Nq:
-        q = jnp.pad(q, ((0, 0), (0, nq_pad - Nq), (0, 0)))
-    if nk_pad != Nk:
-        k = jnp.pad(k, ((0, 0), (0, nk_pad - Nk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, nk_pad - Nk), (0, 0)))
-
-    grid = (BH, nq_pad // bq, nk_pad // bk)
+    grid = (BH, _cdiv(Nq, bq), _cdiv(Nk, bk))
     kernel = functools.partial(
         _kernel, sm_scale=sm_scale, mask=mask, nk_valid=Nk, bq=bq, bk=bk, d=d
     )
@@ -155,8 +160,8 @@ def _flash_fwd(
             pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, nq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((BH, nq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nq, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, Nq, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -165,7 +170,7 @@ def _flash_fwd(
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :Nq], lse[:, :Nq, 0]
+    return out, lse[:, :, 0]
 
 
 def _dq_kernel(
