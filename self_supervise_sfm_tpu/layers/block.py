@@ -97,6 +97,26 @@ def _fused_qkv_applicable(p, cfg: BlockConfig, x, rope_cos_sin) -> bool:
     return True
 
 
+def _fused_qkv_plain_applicable(p, cfg: BlockConfig, x) -> bool:
+    """Gate for the no-rope/no-qk-norm fused LN+QKV (ViT blocks)."""
+    if cfg.fused_qkv == "off":
+        return False
+    if cfg.fused_qkv != "on" and jax.default_backend() != "tpu":
+        return False
+    if cfg.qk_norm or "b" not in p["attn"]["qkv"]:
+        return False
+    if cfg.dim % cfg.num_heads:
+        return False
+    if cfg.fused_qkv != "on" and x.dtype != jnp.bfloat16:
+        return False
+    from ..parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and any(v > 1 for v in mesh.shape.values()):
+        return False
+    return True
+
+
 def _fused_qkv(p, x, cfg: BlockConfig, rope_cos_sin):
     from ..ops.fused_qkv import fused_ln_qkv_rope
 
@@ -166,6 +186,16 @@ def block(
 ) -> jax.Array:
     if _fused_qkv_applicable(p, cfg, x, rope_cos_sin):
         q, k, v = _fused_qkv(p, x, cfg, rope_cos_sin)
+        o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
+        x = _fused_proj_residual(p, o, x)
+    elif rope_cos_sin is None and _fused_qkv_plain_applicable(p, cfg, x):
+        from ..ops.fused_qkv import fused_ln_qkv
+
+        q, k, v = fused_ln_qkv(
+            x, p["norm1"]["scale"], p["norm1"]["bias"],
+            p["attn"]["qkv"]["w"], p["attn"]["qkv"]["b"],
+            cfg.num_heads, cfg.ln_eps,
+        )
         o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
         x = _fused_proj_residual(p, o, x)
     else:

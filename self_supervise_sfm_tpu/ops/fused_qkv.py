@@ -232,6 +232,108 @@ fused_ln_qkv_rope.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# plain variant: LN + QKV + head split, no qk-norm / rope (the ViT blocks)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_plain(
+    x_ref, lnw_ref, lnb_ref, w_ref, b_ref, q_ref, k_ref, v_ref,
+    *, nh: int, d: int, eps: float,
+):
+    x = x_ref[0].astype(jnp.float32)  # (bn, C)
+    h = _ln_rows(x, lnw_ref[0], lnb_ref[0], eps).astype(w_ref.dtype)
+    qkv = jax.lax.dot_general(
+        h, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = qkv.astype(q_ref.dtype) + b_ref[0].astype(q_ref.dtype)  # (bn, 3C)
+    C = nh * d
+    for hh in range(nh):
+        q_ref[0, hh] = qkv[:, hh * d : (hh + 1) * d]
+        k_ref[0, hh] = qkv[:, C + hh * d : C + (hh + 1) * d]
+        v_ref[0, hh] = qkv[:, 2 * C + hh * d : 2 * C + (hh + 1) * d]
+
+
+def fused_qkv_plain_kernel(
+    x, ln_scale, ln_bias, w, b, num_heads: int,
+    eps: float = 1e-5, block_n: int = 256, interpret: bool = False,
+):
+    B, N, C = x.shape
+    nh = num_heads
+    d = C // nh
+    bn = min(block_n, N)
+    grid = (B, _cdiv(N, bn))
+    const = lambda *_: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_kernel_plain, nh=nh, d=d, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bn, C), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((C, 3 * C), const),
+            pl.BlockSpec((1, 3 * C), const),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nh, bn, d), lambda bi, ni: (bi, 0, ni, 0))
+            for _ in range(3)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nh, N, d), x.dtype) for _ in range(3)
+        ],
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, C).astype(jnp.float32),
+        ln_bias.reshape(1, C).astype(jnp.float32),
+        w.astype(x.dtype),
+        b.reshape(1, 3 * C).astype(jnp.float32),
+    )
+
+
+def reference_qkv_plain(x, ln_scale, ln_bias, w, b, num_heads: int,
+                        eps: float = 1e-5):
+    B, N, C = x.shape
+    d = C // num_heads
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.var(x32, -1, keepdims=True)
+    h = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(dt)
+    qkv = h @ w.astype(dt) + b.astype(dt)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, N, num_heads, d).transpose(0, 2, 1, 3)
+
+    return heads(q), heads(k), heads(v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_ln_qkv(x, ln_scale, ln_bias, w, b, num_heads: int,
+                 eps: float = 1e-5, block_n: int = 256):
+    """No-rope/no-qk-norm fused LN+QKV (e.g. the DINOv2 ViT blocks)."""
+    if jax.default_backend() == "tpu":
+        return fused_qkv_plain_kernel(x, ln_scale, ln_bias, w, b, num_heads,
+                                      eps, block_n)
+    return reference_qkv_plain(x, ln_scale, ln_bias, w, b, num_heads, eps)
+
+
+def _plain_fwd(x, ln_scale, ln_bias, w, b, num_heads, eps, block_n):
+    out = fused_ln_qkv(x, ln_scale, ln_bias, w, b, num_heads, eps, block_n)
+    return out, (x, ln_scale, ln_bias, w, b)
+
+
+def _plain_bwd(num_heads, eps, block_n, res, g):
+    ref = functools.partial(reference_qkv_plain, num_heads=num_heads, eps=eps)
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+fused_ln_qkv.defvjp(_plain_fwd, _plain_bwd)
+
+
+# ---------------------------------------------------------------------------
 # fused merge-heads + out-projection + layer-scale + residual
 # ---------------------------------------------------------------------------
 

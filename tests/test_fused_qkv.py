@@ -207,3 +207,51 @@ class TestBlockIntegration:
         np.testing.assert_allclose(
             np.asarray(out_on), np.asarray(out_off), atol=1e-6
         )
+
+    def test_block_plain_fused_matches_unfused(self, rng):
+        """ViT-style block (no rope, no qk-norm): plain fused path == unfused."""
+        from self_supervise_sfm_tpu.layers.block import BlockConfig, block, init_block
+
+        C, nh, N = 128, 4, 200
+        cfg_on = BlockConfig(dim=C, num_heads=nh, fused_qkv="on",
+                             fused_mlp="on", attn_impl="dense")
+        cfg_off = BlockConfig(dim=C, num_heads=nh, fused_qkv="off",
+                              fused_mlp="off", attn_impl="dense")
+        p = init_block(jax.random.PRNGKey(1), cfg_on)
+        p["attn"]["qkv"]["b"] = jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(2, N, C)), jnp.float32)
+        out_on = block(p, x, cfg_on)
+        out_off = block(p, x, cfg_off)
+        np.testing.assert_allclose(
+            np.asarray(out_on), np.asarray(out_off), atol=1e-6
+        )
+
+    def test_plain_kernel_matches_reference(self, rng):
+        x, args, _, _, nh = make_inputs(rng, N=300)
+        plain_args = (args["ln_scale"], args["ln_bias"], args["w"], args["b"])
+        ref = FQ.reference_qkv_plain(x, *plain_args, num_heads=nh)
+        got = FQ.fused_qkv_plain_kernel(
+            x, *plain_args, num_heads=nh, block_n=128, interpret=True
+        )
+        for g, r, nm in zip(got, ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=2e-5, err_msg=nm
+            )
+
+    def test_plain_gradients(self, rng):
+        x, args, _, _, nh = make_inputs(rng, B=1, N=64, C=64, nh=2)
+        plain = (args["ln_scale"], args["ln_bias"], args["w"], args["b"])
+
+        def lf(x, w):
+            q, k, v = FQ.fused_ln_qkv(x, plain[0], plain[1], w, plain[3], nh)
+            return jnp.sum(q * q) + jnp.sum(k) + jnp.sum(v * v * v)
+
+        def lr(x, w):
+            q, k, v = FQ.reference_qkv_plain(x, plain[0], plain[1], w, plain[3],
+                                             num_heads=nh)
+            return jnp.sum(q * q) + jnp.sum(k) + jnp.sum(v * v * v)
+
+        g1 = jax.grad(lf, argnums=(0, 1))(x, args["w"])
+        g2 = jax.grad(lr, argnums=(0, 1))(x, args["w"])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
