@@ -73,8 +73,11 @@ def main():
     dev = jax.devices()[0]
     cfg = M.make_config(compute_dtype="bfloat16", remat=False)
     # one jitted program: on-device init, no per-leaf host dispatch through
-    # the remote-TPU tunnel
-    params = jax.jit(lambda k: M.init_sailrecon(k, cfg))(jax.random.PRNGKey(0))
+    # the remote-TPU tunnel; trunk weights pre-cast to bf16 (inference holds
+    # no fp32 master copy — saves ~7 ms/step of in-step converts)
+    params = jax.jit(
+        lambda k: M.cast_trunk_weights(M.init_sailrecon(k, cfg), cfg)
+    )(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     # the reference inference layout: the scene's frames duplicated into

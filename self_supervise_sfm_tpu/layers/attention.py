@@ -161,6 +161,27 @@ def attention_heads_out(
 ) -> jax.Array:
     """The attention core alone: (B, H, N, d) per-head outputs, no merge /
     projection — consumed by the fused out-projection kernel."""
+    if extra_kv is not None and extra_kv[0].shape[0] != q.shape[0]:
+        # frame-major reloc layout: q/k/v carry (B*F, H, P, d) with frames
+        # folded into batch while the shared context K/V stays (B, H, Nc, d).
+        # Every q row sees [ctx ‖ own frame] — the reloc allow-mask expressed
+        # by layout (no mask argument applies).
+        assert mask is None and q.shape[0] % extra_kv[0].shape[0] == 0
+        ek, ev = extra_kv
+        from ..ops import flash_attention as fa
+
+        if (
+            cfg.impl != "dense"
+            and jax.default_backend() == "tpu"
+            and cfg.head_dim <= 256
+            and q.shape[2] * (ek.shape[2] + k.shape[2]) >= 1_500_000
+        ):
+            return fa.frame_ctx_attention(
+                q, k, v, ek.astype(k.dtype), ev.astype(v.dtype)
+            )
+        return fa._frame_ctx_dense(
+            q, k, v, ek.astype(k.dtype), ev.astype(v.dtype)
+        )
     o = None
     if (
         extra_kv is not None

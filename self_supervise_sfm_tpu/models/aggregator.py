@@ -324,8 +324,6 @@ def aggregator_forward(
 
     t_frame = _rope_tables_frame(cfg, gh, gw)  # (P, hd) x2
     t_global = _tile_tables(t_frame, A)
-    t_query = _tile_tables(t_frame, Q)
-    mask_reloc = _reloc_allow_mask(A * R5, Q, Ptok)
     bcfg = cfg.block_cfg
     bcfg_g = cfg.global_block_cfg
 
@@ -345,13 +343,17 @@ def aggregator_forward(
             down = down.reshape(B, A * R5, C)
             down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
             down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
-        # 3. global-reloc attention — query tokens context-sharded; the small
-        # compressed scene rep stays replicated (all-gathered over ICI)
+        # 3. global-reloc attention — frame-major layout: queries stay
+        # (B*Q, P, C) with frames folded into batch (sharded over
+        # data x context like frame attention) while the small compressed
+        # scene rep stays (B, A*R5, C), replicated / all-gathered over ICI.
+        # The [ctx ‖ own-frame] allow structure is expressed by layout — no
+        # mask, no fold/unfold transposes around the attention kernel.
         with jax.named_scope("reloc_attn"):
-            q = queries.reshape(B, Q * Ptok, C)
-            q = constrain(q, DATA_AXIS, CONTEXT_AXIS, None)
+            q = queries.reshape(B * Q, Ptok, C)
+            q = constrain(q, (DATA_AXIS, CONTEXT_AXIS), None, None)
             q = block_with_context(
-                rp, q, down, bcfg, t_query, (down_cos, down_sin), mask_reloc
+                rp, q, down, bcfg, t_frame, (down_cos, down_sin)
             )
             reloc_out = q.reshape(B, Q, Ptok, C)
         # 4. global attention — the long (A*P) token axis is context-sharded
@@ -501,11 +503,7 @@ def aggregator_reloc(
     tokens, P0 = _embed_frames(p, cfg, images, is_query)
     C = cfg.embed_dim
     Ptok = P0 + cfg.patch_start_idx
-    n_ctx = cache["k"].shape[3]
-
     t_frame = _rope_tables_frame(cfg, gh, gw)
-    t_query = _tile_tables(t_frame, Q)
-    mask = _reloc_allow_mask(n_ctx, Q, Ptok)
     bcfg = cfg.block_cfg
 
     from ..layers.attention import attention
@@ -514,13 +512,13 @@ def aggregator_reloc(
         t = tokens.reshape(B * Q, Ptok, C)
         t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = block(fp, t, bcfg, t_frame)
-        t = t.reshape(B, Q, Ptok, C)
-        frame_out = t
-        q = t.reshape(B, Q * Ptok, C)
-        q = constrain(q, DATA_AXIS, CONTEXT_AXIS, None)
-        # reloc block with cached context K/V
+        frame_out = t.reshape(B, Q, Ptok, C)
+        # reloc block against cached context K/V — frame-major layout: each
+        # query frame attends [scene cache ‖ itself], expressed by the
+        # (B*Q, P, C) vs (B, H, n_ctx, hd) batch split (no mask needed)
+        q = t
         h = P.layer_norm(rp["norm1"], q, bcfg.ln_eps)
-        a = attention(rp["attn"], h, bcfg.attn, t_query, mask, extra_kv=kv_l)
+        a = attention(rp["attn"], h, bcfg.attn, t_frame, extra_kv=kv_l)
         q = q + P.layer_scale(rp["ls1"], a)
         h = P.layer_norm(rp["norm2"], q, bcfg.ln_eps)
         from ..layers.block import mlp as _mlp

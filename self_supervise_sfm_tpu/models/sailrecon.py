@@ -109,6 +109,49 @@ def make_config(
     )
 
 
+# parent keys of big matmul/conv weights on the trunk compute path; their
+# "w" leaves are safe to hold in the compute dtype (every consumer casts
+# with `.astype(x.dtype)` anyway — see layers/params.py)
+_CASTABLE_PARENTS = frozenset(
+    {"qkv", "proj", "fc1", "fc2", "w12", "w3"}
+)
+
+
+def cast_trunk_weights(p, cfg: SailReconConfig):
+    """Cast the trunk's large matmul weights to the compute dtype, once.
+
+    With fp32 master params and a bf16 trunk, XLA materialises f32->bf16
+    converts of every stacked weight *inside* the step (~7 ms/step at
+    ViT-L/24: fourteen (24, 1024, 4096)-class tensors) — loop-invariant
+    code motion does not hoist them out of scan/fori bodies. Casting once
+    at load time is bit-identical: the per-call ``.astype(compute_dtype)``
+    becomes a no-op.
+
+    Heads stay fp32 (the reference's disabled-AMP boundary,
+    ``sail_recon.py:119``); layer norms, biases and layer-scales stay fp32
+    (they are applied in fp32 inside the fused kernels). Use for inference
+    / serving only — training keeps fp32 master weights for the optimizer.
+    """
+    dtype = cfg.aggregator.dtype
+    if dtype == jnp.float32:
+        return p
+
+    def cast(path, x):
+        keys = [k.key for k in path if hasattr(k, "key")]
+        if (
+            len(keys) >= 3
+            and keys[0] == "aggregator"
+            and keys[-1] == "w"
+            and keys[-2] in _CASTABLE_PARENTS
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+        ):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(cast, p)
+
+
 def init_sailrecon(key, cfg: SailReconConfig):
     ka, kc, kp, kd = jax.random.split(key, 4)
     p: Dict[str, Any] = {"aggregator": init_aggregator(ka, cfg.aggregator)}

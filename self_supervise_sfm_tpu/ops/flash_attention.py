@@ -414,6 +414,235 @@ _flash_mha_lse.defvjp(_flash_mha_lse_fwd, _flash_mha_lse_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused [context ‖ own-frame] attention (the reloc site, frame-major layout)
+# ---------------------------------------------------------------------------
+
+
+def _online_step(k, v, k0, nk_valid, s2, m_scratch, l_scratch, acc_scratch):
+    """Fold one key tile into the running log2-space online softmax.
+
+    ``s2``: (bq, bk) f32 logits already scaled by sm_scale*log2(e);
+    ``k0``: first key index of this tile; rows past ``nk_valid`` are OOB
+    reads with undefined contents, so v is zeroed and s forced by select
+    (see the guard comments in ``_kernel``).
+    """
+    bk = k.shape[0]
+    k_row = k0 + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+    v = jnp.where(k_row < nk_valid, v, 0.0)
+    kcol = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    s2 = jnp.where(kcol < nk_valid, s2, NEG_INF)
+
+    m_prev = m_scratch[:, 0:1]
+    m_cur = jnp.max(s2, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s2 - m_new)
+    l_new = l_scratch[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+
+def _frame_ctx_kernel(
+    q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, sm_scale, nc, np_, ct, bk,
+):
+    """One query tile of frame f attends [ctx(0:nc) ‖ own frame(0:np_)].
+
+    Grid (B, F, H, nq_tiles, ct + ot), key axis innermost: tiles j < ct
+    stream the shared context K/V (indexed by (b, h) — the same context
+    serves every frame), tiles j >= ct stream the frame's own K/V.
+    """
+    j = pl.program_id(4)
+    nk_tiles = pl.num_programs(4)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0, 0]  # (bq, d)
+
+    def consume(k, v, k0, nk_valid):
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (sm_scale * LOG2E)
+        _online_step(k, v, k0, nk_valid, s2, m_scratch, l_scratch, acc_scratch)
+
+    @pl.when(j < ct)
+    def _ctx():
+        consume(ck_ref[0, 0], cv_ref[0, 0], j * bk, nc)
+
+    @pl.when(j >= ct)
+    def _own():
+        consume(k_ref[0, 0, 0], v_ref[0, 0, 0], (j - ct) * bk, np_)
+
+    @pl.when(j == nk_tiles - 1)
+    def _finalize():
+        l = l_scratch[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, 0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+
+
+def frame_ctx_kernel(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    ck: jax.Array, cv: jax.Array,
+    bq: Optional[int] = None,
+    bk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """q/k/v: (B*F, H, P, d) frame-major; ck/cv: (B, H, Nc, d) shared context.
+
+    Each frame's rows attend softmax([ctx ‖ own frame]) — the reloc
+    allow-mask structure (``aggregator.py:832-851``) expressed by layout
+    instead of a mask: no mask evaluation, no dead tiles, no fold/unfold
+    transposes, no cross-call lse merge. Returns (B*F, H, P, d).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    BF, H, P, d = q.shape
+    B, _, Nc, _ = ck.shape
+    F = BF // B
+    assert BF == B * F
+    sm_scale = 1.0 / (d**0.5)
+    bq = bq or (_cdiv(max(128, P), 8) * 8 if P <= 1536 else 1024)
+    bq = min(bq, _cdiv(max(128, P), 8) * 8)
+    bk = bk or 768
+    bk = int(min(bk, _cdiv(max(128, max(Nc, P)), 8) * 8))
+    ct = _cdiv(Nc, bk)
+    ot = _cdiv(P, bk)
+
+    q5 = q.reshape(B, F, H, P, d)
+    k5 = k.reshape(B, F, H, P, d)
+    v5 = v.reshape(B, F, H, P, d)
+    grid = (B, F, H, _cdiv(P, bq), ct + ot)
+
+    own_spec = pl.BlockSpec(
+        (1, 1, 1, bk, d),
+        lambda b, f, h, i, j: (b, f, h, jnp.clip(j - ct, 0, ot - 1), 0),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _frame_ctx_kernel, sm_scale=sm_scale, nc=Nc, np_=P, ct=ct, bk=bk
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, bq, d), lambda b, f, h, i, j: (b, f, h, i, 0)),
+            own_spec,
+            own_spec,
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda b, f, h, i, j: (b, h, jnp.minimum(j, ct - 1), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda b, f, h, i, j: (b, h, jnp.minimum(j, ct - 1), 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, bq, d), lambda b, f, h, i, j: (b, f, h, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, F, H, P, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q5, k5, v5, ck, cv)
+    return out.reshape(BF, H, P, d)
+
+
+def _frame_ctx_dense(q, k, v, ck, cv):
+    """Dense reference: per-frame softmax over the [ctx ‖ own] concatenation
+    (identical to the reference's masked global-reloc attention rows,
+    ``aggregator.py:672-741``). Differentiable; used off-TPU and as the
+    ground truth in kernel tests."""
+    BF, H, P, d = q.shape
+    B, _, Nc, _ = ck.shape
+    F = BF // B
+
+    def bcast(c):
+        return jnp.broadcast_to(
+            c[:, None], (B, F) + c.shape[1:]
+        ).reshape(BF, *c.shape[1:])
+
+    kk = jnp.concatenate([bcast(ck).astype(k.dtype), k], axis=2)
+    vv = jnp.concatenate([bcast(cv).astype(v.dtype), v], axis=2)
+    scale = 1.0 / (d**0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kk, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(q.dtype), vv,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _frame_ctx_split(q, k, v, ck, cv):
+    """O(N)-memory differentiable composition: own-frame flash + broadcast-ctx
+    flash merged by lse (exact softmax; the backward path of the fused
+    forward kernel — each flash call carries its own flash backward)."""
+    BF, H, P, d = q.shape
+    B = ck.shape[0]
+    F = BF // B
+
+    def bcast(c):
+        return jnp.broadcast_to(
+            c[:, None], (B, F) + c.shape[1:]
+        ).reshape(BF, *c.shape[1:])
+
+    o_own, lse_own = flash_attention_lse(q, k, v)
+    o_ctx, lse_ctx = flash_attention_lse(
+        q, bcast(ck).astype(k.dtype), bcast(cv).astype(v.dtype)
+    )
+    from .ring_attention import _merge
+
+    out, _ = _merge(
+        o_own.astype(jnp.float32), lse_own, o_ctx.astype(jnp.float32), lse_ctx
+    )
+    return out.astype(q.dtype)
+
+
+@jax.custom_vjp
+def frame_ctx_attention(q, k, v, ck, cv):
+    """Fused reloc attention: frame-major q/k/v vs shared context K/V.
+
+    Forward: single Pallas kernel on TPU (dense reference elsewhere).
+    Backward: VJP of the numerically matching lse-split composition —
+    flash backward kernels end to end, O(N) memory.
+    """
+    if jax.default_backend() == "tpu":
+        return frame_ctx_kernel(q, k, v, ck, cv)
+    return _frame_ctx_dense(q, k, v, ck, cv)
+
+
+def _frame_ctx_fwd(q, k, v, ck, cv):
+    return frame_ctx_attention(q, k, v, ck, cv), (q, k, v, ck, cv)
+
+
+def _frame_ctx_bwd(res, g):
+    f = (
+        _frame_ctx_split
+        if jax.default_backend() == "tpu"
+        else _frame_ctx_dense
+    )
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g)
+
+
+frame_ctx_attention.defvjp(_frame_ctx_fwd, _frame_ctx_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public API (consumed by ops.attention_core.sdpa)
 # ---------------------------------------------------------------------------
 

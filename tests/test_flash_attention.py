@@ -62,6 +62,86 @@ class TestFlashForward:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+class TestFrameCtxKernel:
+    """Fused [ctx ‖ own-frame] reloc kernel vs the dense per-frame reference
+    (which itself equals the reference's masked global-reloc attention rows)."""
+
+    @pytest.mark.parametrize(
+        "B,F,P,nc,bq,bk",
+        [
+            (1, 3, 96, 160, 128, 128),   # ragged frame + ctx vs tiles
+            (2, 2, 128, 128, 128, 128),  # tile-aligned, multi-batch
+            (1, 2, 200, 70, 128, 64),    # multiple ragged k tiles both sides
+        ],
+    )
+    def test_matches_dense(self, rng, B, F, P, nc, bq, bk):
+        from self_supervise_sfm_tpu.ops.flash_attention import (
+            _frame_ctx_dense, frame_ctx_kernel,
+        )
+
+        H, d = 2, 64
+        q, k, v = rand_qkv(rng, B * F, H, P, P, d)
+        ck = jnp.asarray(rng.normal(size=(B, H, nc, d)).astype(np.float32))
+        cv = jnp.asarray(rng.normal(size=(B, H, nc, d)).astype(np.float32))
+        ref = _frame_ctx_dense(q, k, v, ck, cv)
+        out = frame_ctx_kernel(q, k, v, ck, cv, bq=bq, bk=bk, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_equals_masked_reloc_attention(self, rng):
+        """Layout form == mask form: folding frames and passing ctx separately
+        reproduces RelocMask attention over the [ctx ‖ all-frames] axis."""
+        B, F, P, nc, H, d = 1, 3, 96, 160, 2, 64
+        mask = RelocMask(n_ctx=nc, frame_size=P, num_frames=F)
+        q, k, v = rand_qkv(rng, B, H, F * P, nc + F * P, d)
+        ref = AC.sdpa_dense(q, k, v, mask)
+
+        from self_supervise_sfm_tpu.ops.flash_attention import frame_ctx_kernel
+
+        def fold(x):
+            return (
+                x.reshape(B, H, F, P, d)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(B * F, H, P, d)
+            )
+
+        ck, cv = k[:, :, :nc], v[:, :, :nc]
+        out = frame_ctx_kernel(
+            fold(q), fold(k[:, :, nc:]), fold(v[:, :, nc:]), ck, cv,
+            bq=128, bk=128, interpret=True,
+        )
+        out = (
+            out.reshape(B, F, H, P, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(B, H, F * P, d)
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_split_composition_and_grads(self, rng):
+        """The lse-split composition (the TPU backward path) matches the dense
+        reference in value and gradients."""
+        from self_supervise_sfm_tpu.ops.flash_attention import (
+            _frame_ctx_dense, _frame_ctx_split,
+        )
+
+        B, F, P, nc, H, d = 1, 2, 64, 96, 2, 64
+        q, k, v = rand_qkv(rng, B * F, H, P, P, d)
+        ck = jnp.asarray(rng.normal(size=(B, H, nc, d)).astype(np.float32))
+        cv = jnp.asarray(rng.normal(size=(B, H, nc, d)).astype(np.float32))
+
+        def loss(f):
+            return lambda *a: jnp.sum(f(*a) ** 2)
+
+        vs, gs = jax.value_and_grad(loss(_frame_ctx_split), argnums=(0, 1, 2, 3, 4))(
+            q, k, v, ck, cv
+        )
+        vd, gd = jax.value_and_grad(loss(_frame_ctx_dense), argnums=(0, 1, 2, 3, 4))(
+            q, k, v, ck, cv
+        )
+        np.testing.assert_allclose(float(vs), float(vd), rtol=1e-5)
+        for a, b in zip(gs, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 class TestFlashBackward:
     def test_grads_match_dense(self, rng):
         mask = RelocMask(n_ctx=64, frame_size=64, num_frames=2)
