@@ -371,44 +371,50 @@ def aggregator_forward(
     if cfg.remat:
         layer = jax.checkpoint(layer, prevent_cse=False)
 
-    def scan_segment(tokens, lo, hi):
-        if hi <= lo:
-            return tokens
-        seg = jax.tree.map(lambda x: x[lo:hi], (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"]))
-        idx_seg = idx[lo:hi]
+    # One scan over all layers. Tapped layers write their [frame ‖ reloc]
+    # features into a carry buffer via lax.cond + in-place dynamic update —
+    # unrolling the tap layers instead (the previous form) made XLA
+    # materialise per-layer slices of every stacked weight (~2.5 ms/step of
+    # (4096, 1024)-class copies) and compile 7 copies of the layer graph.
+    tap_list = tuple(cfg.intermediate_layer_idx)
+    assert tap_list == tuple(sorted(tap_list))
+    assert tap_list[-1] == cfg.depth - 1, "last layer must be an intermediate tap"
+    n_tap = len(tap_list)
+    tap_idx_arr = jnp.asarray(tap_list, jnp.int32)
+    taps_buf = jnp.zeros((n_tap, B, Q, Ptok, 2 * C), jnp.float32)
+    cam_buf = jnp.zeros((B, A, 2 * C), jnp.float32)
 
-        def body(carry, xs):
-            (fp, gp, rp), idx_l = xs
-            new_tokens, *_ = layer(carry, fp, gp, rp, idx_l)
-            return new_tokens, None
-
-        tokens, _ = jax.lax.scan(body, tokens, (seg, idx_seg))
-        return tokens
-
-    taps: Dict[int, jax.Array] = {}
-    cam_token_last_layer = None
-    prev = 0
-    for tap_layer in cfg.intermediate_layer_idx:
-        tokens = scan_segment(tokens, prev, tap_layer)
-        lp = jax.tree.map(
-            lambda x: x[tap_layer],
-            (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"]),
+    def body(carry, xs):
+        tokens, taps_buf, cam_buf = carry
+        (fp, gp, rp), idx_l, l = xs
+        new_tokens, frame_out, reloc_out, global_out = layer(
+            tokens, fp, gp, rp, idx_l
         )
-        tokens, frame_out, reloc_out, global_out = layer(
-            tokens, lp[0], lp[1], lp[2], idx[tap_layer]
-        )
-        taps[tap_layer] = jnp.concatenate(
-            [frame_out[:, A:], reloc_out], axis=-1
-        ).astype(jnp.float32)
-        prev = tap_layer + 1
-        if tap_layer == cfg.depth - 1:
-            cam_token_last_layer = jnp.concatenate(
-                [frame_out[:, :A, 0], global_out[:, :, 0]], axis=-1
+        is_tap = jnp.any(tap_idx_arr == l)
+        slot = jnp.sum((tap_idx_arr < l).astype(jnp.int32))
+
+        def write(tb):
+            feat = jnp.concatenate(
+                [frame_out[:, A:], reloc_out], axis=-1
             ).astype(jnp.float32)
-    tokens = scan_segment(tokens, prev, cfg.depth)
-    assert cam_token_last_layer is not None, "last layer must be an intermediate tap"
+            return jax.lax.dynamic_update_index_in_dim(tb, feat, slot, 0)
 
-    taps[-1] = taps[cfg.intermediate_layer_idx[-1]]
+        taps_buf = jax.lax.cond(is_tap, write, lambda tb: tb, taps_buf)
+        cam = jnp.concatenate(
+            [frame_out[:, :A, 0], global_out[:, :, 0]], axis=-1
+        ).astype(jnp.float32)
+        cam_buf = jnp.where(l == cfg.depth - 1, cam, cam_buf)
+        return (new_tokens, taps_buf, cam_buf), None
+
+    stacks = (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"])
+    (_, taps_buf, cam_token_last_layer), _ = jax.lax.scan(
+        body,
+        (tokens, taps_buf, cam_buf),
+        (stacks, idx, jnp.arange(cfg.depth, dtype=jnp.int32)),
+    )
+
+    taps: Dict[int, jax.Array] = {li: taps_buf[i] for i, li in enumerate(tap_list)}
+    taps[-1] = taps[tap_list[-1]]
     return taps, cfg.patch_start_idx, cam_token_last_layer
 
 
@@ -530,35 +536,38 @@ def aggregator_reloc(
     if cfg.remat:
         layer = jax.checkpoint(layer, prevent_cse=False)
 
-    def scan_segment(tokens, lo, hi):
-        if hi <= lo:
-            return tokens
-        seg = jax.tree.map(lambda x: x[lo:hi], (p["frame_blocks"], p["reloc_blocks"]))
-        kv_seg = jax.tree.map(lambda x: x[lo:hi], cache)
+    # single scan with in-carry tap accumulation (see aggregator_forward)
+    tap_list = tuple(cfg.intermediate_layer_idx)
+    assert tap_list == tuple(sorted(tap_list))
+    n_tap = len(tap_list)
+    tap_idx_arr = jnp.asarray(tap_list, jnp.int32)
+    taps_buf = jnp.zeros((n_tap, B, Q, Ptok, 2 * C), jnp.float32)
 
-        def body(carry, xs):
-            (fp, rp), kv = xs
-            new_tokens, *_ = layer(carry, fp, rp, (kv["k"], kv["v"]))
-            return new_tokens, None
+    def body(carry, xs):
+        tokens, taps_buf = carry
+        (fp, rp), kv, l = xs
+        new_tokens, frame_out, reloc_out = layer(tokens, fp, rp, (kv["k"], kv["v"]))
+        is_tap = jnp.any(tap_idx_arr == l)
+        slot = jnp.sum((tap_idx_arr < l).astype(jnp.int32))
 
-        tokens, _ = jax.lax.scan(body, tokens, (seg, kv_seg))
-        return tokens
+        def write(tb):
+            feat = jnp.concatenate(
+                [frame_out, reloc_out], axis=-1
+            ).astype(jnp.float32)
+            return jax.lax.dynamic_update_index_in_dim(tb, feat, slot, 0)
 
-    taps: Dict[int, jax.Array] = {}
-    prev = 0
-    for tap_layer in cfg.intermediate_layer_idx:
-        tokens = scan_segment(tokens, prev, tap_layer)
-        lp = jax.tree.map(
-            lambda x: x[tap_layer], (p["frame_blocks"], p["reloc_blocks"])
-        )
-        kv_l = jax.tree.map(lambda x: x[tap_layer], cache)
-        tokens, frame_out, reloc_out = layer(
-            tokens, lp[0], lp[1], (kv_l["k"], kv_l["v"])
-        )
-        taps[tap_layer] = jnp.concatenate([frame_out, reloc_out], axis=-1).astype(
-            jnp.float32
-        )
-        prev = tap_layer + 1
-    tokens = scan_segment(tokens, prev, cfg.depth)
-    taps[-1] = taps[cfg.intermediate_layer_idx[-1]]
+        taps_buf = jax.lax.cond(is_tap, write, lambda tb: tb, taps_buf)
+        return (new_tokens, taps_buf), None
+
+    (_, taps_buf), _ = jax.lax.scan(
+        body,
+        (tokens, taps_buf),
+        (
+            (p["frame_blocks"], p["reloc_blocks"]),
+            cache,
+            jnp.arange(cfg.depth, dtype=jnp.int32),
+        ),
+    )
+    taps: Dict[int, jax.Array] = {li: taps_buf[i] for i, li in enumerate(tap_list)}
+    taps[-1] = taps[tap_list[-1]]
     return taps, cfg.patch_start_idx

@@ -35,7 +35,9 @@ def main():
 
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/infer_trace"
     cfg = M.make_config(compute_dtype="bfloat16", remat=False)
-    params = jax.jit(lambda k: M.init_sailrecon(k, cfg))(jax.random.PRNGKey(0))
+    params = jax.jit(
+        lambda k: M.cast_trunk_weights(M.init_sailrecon(k, cfg), cfg)
+    )(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     uniq = rng.uniform(size=(1, NUM_FRAMES, IMG, IMG, 3)).astype(np.float32)
