@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from . import params as P
 from .attention import (
     AttentionConfig, attention, attention_from_qkv, attention_heads_out,
-    init_attention, kv_heads,
+    init_attention, kv_heads, qkv_heads,
 )
 
 
@@ -174,6 +174,52 @@ def _mlp_residual(p, x, cfg: BlockConfig):
         )
     h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
     return x + P.layer_scale(p["ls2"], mlp(p["mlp"], h))
+
+
+def qkv_parts(
+    p,
+    x: jax.Array,
+    cfg: BlockConfig,
+    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-head (q, k, v) after LN1 (+ qk-norm / rope) — the pre-attention
+    half of the block, Pallas-fused when applicable. Used by the
+    sequence-parallel ring block (``parallel/sp_block.py``), which needs the
+    attention core split out to interleave the ppermute ring."""
+    if _fused_qkv_applicable(p, cfg, x, rope_cos_sin):
+        return _fused_qkv(p, x, cfg, rope_cos_sin)
+    if rope_cos_sin is None and _fused_qkv_plain_applicable(p, cfg, x):
+        from ..ops.fused_qkv import fused_ln_qkv
+
+        return fused_ln_qkv(
+            x, p["norm1"]["scale"], p["norm1"]["bias"],
+            p["attn"]["qkv"]["w"], p["attn"]["qkv"]["b"],
+            cfg.num_heads, cfg.ln_eps,
+        )
+    h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
+    return qkv_heads(p["attn"], h, cfg.attn, rope_cos_sin)
+
+
+def attn_out_mlp(p, o: jax.Array, x: jax.Array, cfg: BlockConfig) -> jax.Array:
+    """Post-attention half: head-merge + out-proj + layer-scale + residual,
+    then the MLP residual — Pallas-fused when applicable (the counterpart of
+    :func:`qkv_parts` for composed attention cores)."""
+    from ..parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if (
+        cfg.fused_qkv != "off"
+        and jax.default_backend() == "tpu"
+        and x.dtype == jnp.bfloat16
+        and "b" in p["attn"]["proj"]
+        and (mesh is None or all(v == 1 for v in mesh.shape.values()))
+    ):
+        x = _fused_proj_residual(p, o, x)
+    else:
+        from .attention import _merge_heads
+
+        x = x + P.layer_scale(p["ls1"], P.linear(p["attn"]["proj"], _merge_heads(o)))
+    return _mlp_residual(p, x, cfg)
 
 
 def block(

@@ -174,9 +174,13 @@ def vit_forward(
         x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
 
     bcfg = cfg.block_cfg
+    # frames are independent through the ViT: under a mesh the shard_map
+    # variant shards them over (data x context) and keeps the Pallas kernels
+    # device-local (plain block + GSPMD otherwise)
+    from ..parallel.sp_block import frame_block_sharded
 
     def body(carry, layer_params):
-        y = block(layer_params, carry, bcfg)
+        y = frame_block_sharded(layer_params, carry, bcfg)
         return y, None
 
     if cfg.remat:

@@ -327,12 +327,17 @@ def aggregator_forward(
     bcfg = cfg.block_cfg
     bcfg_g = cfg.global_block_cfg
 
+    from ..parallel.sp_block import (
+        frame_block_sharded, global_block_ring, reloc_block_sharded,
+    )
+
     def layer(tokens, fp, gp, rp, idx_l):
-        # 1. frame attention — frames sharded over (data x context)
+        # 1. frame attention — frames sharded over (data x context); under a
+        # mesh the shard_map variant keeps the Pallas kernels device-local
         with jax.named_scope("frame_attn"):
             t = tokens.reshape(B * S, Ptok, C)
             t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
-            t = block(fp, t, bcfg, t_frame)
+            t = frame_block_sharded(fp, t, bcfg, t_frame)
             t = t.reshape(B, S, Ptok, C)
         frame_out = t
         anchors = t[:, :A]
@@ -352,17 +357,21 @@ def aggregator_forward(
         with jax.named_scope("reloc_attn"):
             q = queries.reshape(B * Q, Ptok, C)
             q = constrain(q, (DATA_AXIS, CONTEXT_AXIS), None, None)
-            q = block_with_context(
+            q = reloc_block_sharded(
                 rp, q, down, bcfg, t_frame, (down_cos, down_sin)
             )
             reloc_out = q.reshape(B, Q, Ptok, C)
-        # 4. global attention — the long (A*P) token axis is context-sharded
-        # (sequence parallelism; KV all-gathered by XLA, or kept sharded and
-        # ring-rotated when cfg.global_attn_impl == "ring")
+        # 4. global attention — the long (A*P) token axis is context-sharded:
+        # sequence parallelism via the shard_map ring block (K/V stay sharded,
+        # ppermute rotation, local fused kernels) when the axis divides, else
+        # GSPMD constrain + XLA all-gather ("dense" forces the latter).
         with jax.named_scope("global_attn"):
             g = anchors.reshape(B, A * Ptok, C)
             g = constrain(g, DATA_AXIS, CONTEXT_AXIS, None)
-            g = block(gp, g, bcfg_g, t_global)
+            if cfg.global_attn_impl in ("ring", "auto"):
+                g = global_block_ring(gp, g, bcfg_g, t_global)
+            else:
+                g = block(gp, g, bcfg_g, t_global)
             global_out = g.reshape(B, A, Ptok, C)
 
         new_tokens = jnp.concatenate([global_out, reloc_out], axis=1)
@@ -458,10 +467,12 @@ def aggregator_build_cache(
     bcfg = cfg.block_cfg
     bcfg_g = cfg.global_block_cfg
 
+    from ..parallel.sp_block import frame_block_sharded, global_block_ring
+
     def layer(tokens, fp, gp, rp, idx_l):
         t = tokens.reshape(B * A, Ptok, C)
         t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
-        t = block(fp, t, bcfg, t_frame)
+        t = frame_block_sharded(fp, t, bcfg, t_frame)
         t = t.reshape(B, A, Ptok, C)
         frame_out = t
         down = jnp.take_along_axis(t, idx_l[..., None], axis=2).reshape(B, A * R5, C)
@@ -469,7 +480,10 @@ def aggregator_build_cache(
         down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
         kv = block_context_kv(rp, down, bcfg, (down_cos, down_sin))
         g = constrain(t.reshape(B, A * Ptok, C), DATA_AXIS, CONTEXT_AXIS, None)
-        g = block(gp, g, bcfg_g, t_global)
+        if cfg.global_attn_impl in ("ring", "auto"):
+            g = global_block_ring(gp, g, bcfg_g, t_global)
+        else:
+            g = block(gp, g, bcfg_g, t_global)
         global_out = g.reshape(B, A, Ptok, C)
         return global_out, frame_out, global_out, kv
 
@@ -514,10 +528,12 @@ def aggregator_reloc(
 
     from ..layers.attention import attention
 
+    from ..parallel.sp_block import frame_block_sharded
+
     def layer(tokens, fp, rp, kv_l):
         t = tokens.reshape(B * Q, Ptok, C)
         t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
-        t = block(fp, t, bcfg, t_frame)
+        t = frame_block_sharded(fp, t, bcfg, t_frame)
         frame_out = t.reshape(B, Q, Ptok, C)
         # reloc block against cached context K/V — frame-major layout: each
         # query frame attends [scene cache ‖ itself], expressed by the

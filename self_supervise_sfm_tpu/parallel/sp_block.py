@@ -1,0 +1,232 @@
+"""Frame/sequence-parallel transformer blocks: shard_map'd Pallas-kernel path.
+
+Under the GSPMD-only path, ``pallas_call`` is opaque to sharding propagation,
+so the fused kernels are gated off whenever a multi-extent mesh is active
+(``layers/block.py``) and multi-chip runs fall back to unfused XLA ops. These
+wrappers make the sharding explicit with ``jax.shard_map`` so each device runs
+the full fused block on its local shard — the real-pod execution path
+(CLAUDE.md open item: "a real pod would want shard_map'd kernel variants").
+
+Three variants, matching the aggregator's three attention sites (SURVEY §2.2):
+
+- :func:`frame_block_sharded` — frames sharded over ``data x context``; frame
+  (and ViT) attention is frame-local, so the block needs **no collectives**.
+- :func:`reloc_block_sharded` — query frames sharded, the small compressed
+  scene representation replicated on every device (it is all-gathered once by
+  construction); per-device fused [ctx ‖ own-frame] attention.
+- :func:`global_block_ring` — the (A·P) token axis sharded over ``context``:
+  fused LN+QKV(+RoPE) on local tokens, ring attention (``lax.ppermute`` K/V
+  rotation with exact lse merges, K/V never gathered), fused proj/MLP. This
+  is the sequence-parallel block; per-device K/V memory is O(N/devices).
+
+Each function falls back to the plain ``block()`` / ``block_with_context()``
+when no mesh is active, the sharded axis does not divide, or tensor
+parallelism (``model`` axis) is on — TP shards attention heads and stays on
+the GSPMD path (``parallel/sharding.py::param_sharding``).
+
+Gradients flow through ``shard_map``: replicated-param cotangents are psummed
+across devices by the shard_map transpose and the ppermute ring transposes to
+the inverted permutation (validated in ``tests/test_sp_block.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..layers.block import (
+    BlockConfig,
+    attn_out_mlp,
+    block,
+    block_with_context,
+    qkv_parts,
+)
+from .sharding import CONTEXT_AXIS, DATA_AXIS, MODEL_AXIS, activate_mesh, active_mesh
+
+
+def _axes_over(mesh, axes) -> Tuple[str, ...]:
+    return tuple(a for a in axes if mesh.shape.get(a, 1) > 1)
+
+
+def _extent(mesh, axes) -> int:
+    n = 1
+    for a in axes:
+        n *= mesh.shape.get(a, 1)
+    return n
+
+
+def _frames_shardable(n_frames: int, mesh, axes) -> bool:
+    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) > 1:
+        return False
+    n = _extent(mesh, _axes_over(mesh, axes))
+    return n > 1 and n_frames % n == 0
+
+
+def _spec1(axes: Tuple[str, ...], ndim: int) -> P:
+    lead = axes if len(axes) > 1 else axes[0]
+    return P(lead, *([None] * (ndim - 1)))
+
+
+def frame_block_sharded(
+    p,
+    x: jax.Array,
+    cfg: BlockConfig,
+    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """``block()`` with the leading frame axis sharded over data x context.
+
+    Frame attention is independent per frame (``aggregator.py:643-670``), so
+    the shard_map body is collective-free and every Pallas kernel applies to
+    the device-local frames.
+    """
+    mesh = active_mesh()
+    if not _frames_shardable(x.shape[0], mesh, (DATA_AXIS, CONTEXT_AXIS)):
+        return block(p, x, cfg, rope_cos_sin)
+    axes = _axes_over(mesh, (DATA_AXIS, CONTEXT_AXIS))
+    spec_x = _spec1(axes, 3)
+    has_rope = rope_cos_sin is not None
+    in_specs = (P(), spec_x) + ((P(None, None), P(None, None)) if has_rope else ())
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=spec_x,
+        check_vma=False,
+    )
+    def run(pl, xl, *rope):
+        with activate_mesh(None):
+            return block(pl, xl, cfg, rope if has_rope else None)
+
+    return run(p, x, *(rope_cos_sin if has_rope else ()))
+
+
+def reloc_block_sharded(
+    p,
+    x: jax.Array,
+    context: jax.Array,
+    cfg: BlockConfig,
+    rope_q: Optional[Tuple[jax.Array, jax.Array]] = None,
+    rope_ctx: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """``block_with_context()`` with query frames sharded, context replicated.
+
+    x: (B*Q, P, C) frame-major queries; context: (B, Nc, C) compressed scene
+    tokens — small (A·(rank+5) ≈ 1.5k tokens), kept whole on every device
+    (the "all-gather the rank-R scene rep over ICI" shape from SURVEY §2.6).
+    Each device runs the fused [ctx ‖ own-frame] attention on its frames.
+    """
+    mesh = active_mesh()
+    B = context.shape[0]
+    BF = x.shape[0]
+    Q = BF // B
+    ok = False
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) == 1:
+        nd = mesh.shape.get(DATA_AXIS, 1)
+        nc = mesh.shape.get(CONTEXT_AXIS, 1)
+        if nd * nc > 1 and B % nd == 0 and BF % (nd * nc) == 0:
+            # each device's frame chunk must land on the scene(s) whose
+            # context it holds: whole scenes per device (nc == 1), or frames
+            # of exactly one scene split over context (B == nd)
+            ok = nc == 1 or (B == nd and Q % nc == 0)
+    if not ok:
+        return block_with_context(p, x, context, cfg, rope_q, rope_ctx)
+    axes = _axes_over(mesh, (DATA_AXIS, CONTEXT_AXIS))
+    spec_x = _spec1(axes, 3)
+    data_ax = DATA_AXIS if mesh.shape.get(DATA_AXIS, 1) > 1 else None
+    spec_ctx = P(data_ax, None, None)
+    has_rq = rope_q is not None
+    has_rc = rope_ctx is not None
+    in_specs = (P(), spec_x, spec_ctx)
+    if has_rq:
+        in_specs = in_specs + (P(None, None), P(None, None))
+    if has_rc:
+        in_specs = in_specs + (spec_ctx, spec_ctx)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=spec_x,
+        check_vma=False,
+    )
+    def run(pl, xl, ctxl, *ropes):
+        i = 0
+        rq = rc = None
+        if has_rq:
+            rq = (ropes[0], ropes[1])
+            i = 2
+        if has_rc:
+            rc = (ropes[i], ropes[i + 1])
+        with activate_mesh(None):
+            return block_with_context(pl, xl, ctxl, cfg, rq, rc)
+
+    args = (p, x, context)
+    if has_rq:
+        args = args + rope_q
+    if has_rc:
+        args = args + rope_ctx
+    return run(*args)
+
+
+def global_block_ring(
+    p,
+    x: jax.Array,
+    cfg: BlockConfig,
+    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """Sequence-parallel block: token axis sharded over ``context``, ring
+    attention inside one shard_map, all pointwise/matmul kernels local.
+
+    x: (B, N, C) with N divisible by the context extent. K/V stay sharded and
+    rotate around the ring via ppermute while each device folds the visiting
+    chunk into an exact online softmax (``ops/ring_attention`` numerics); the
+    fused LN+QKV+RoPE / proj / MLP kernels run on the local N/n tokens.
+    """
+    mesh = active_mesh()
+    nctx = mesh.shape.get(CONTEXT_AXIS, 1) if mesh is not None else 1
+    if (
+        mesh is None
+        or mesh.shape.get(MODEL_AXIS, 1) > 1
+        or nctx == 1
+        or x.shape[1] % nctx != 0
+    ):
+        # no token-axis sharding possible: fall back to scene sharding over
+        # the data axis (itself falling back to the plain GSPMD block)
+        return frame_block_sharded(p, x, cfg, rope_cos_sin)
+    data_ax = (
+        DATA_AXIS
+        if mesh.shape.get(DATA_AXIS, 1) > 1
+        and x.shape[0] % mesh.shape[DATA_AXIS] == 0
+        else None
+    )
+    spec_x = P(data_ax, CONTEXT_AXIS, None)
+    spec_rope = P(CONTEXT_AXIS, None)
+    has_rope = rope_cos_sin is not None
+    in_specs = (P(), spec_x) + ((spec_rope, spec_rope) if has_rope else ())
+    use_flash = jax.default_backend() == "tpu"
+    perm = [(i, (i + 1) % nctx) for i in range(nctx)]
+
+    from ..ops.ring_attention import _chunk_attn, _merge
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=spec_x,
+        check_vma=False,
+    )
+    def run(pl, xl, *rope):
+        with activate_mesh(None):
+            q, k, v = qkv_parts(pl, xl, cfg, rope if has_rope else None)
+            o, lse = _chunk_attn(q, k, v, use_flash)
+
+            def step(carry, _):
+                o, lse, kc, vc = carry
+                kc = jax.lax.ppermute(kc, CONTEXT_AXIS, perm)
+                vc = jax.lax.ppermute(vc, CONTEXT_AXIS, perm)
+                o_c, lse_c = _chunk_attn(q, kc, vc, use_flash)
+                o, lse = _merge(o, lse, o_c, lse_c)
+                return (o, lse, kc, vc), None
+
+            (o, lse, _, _), _ = jax.lax.scan(
+                step, (o, lse, k, v), None, length=nctx - 1
+            )
+            return attn_out_mlp(pl, o.astype(q.dtype), xl, cfg)
+
+    return run(p, x, *(rope_cos_sin if has_rope else ()))
