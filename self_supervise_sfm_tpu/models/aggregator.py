@@ -36,7 +36,6 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..layers import params as P
 from ..layers import rope as R
@@ -44,7 +43,6 @@ from ..layers.block import (
     BlockConfig,
     block,
     block_context_kv,
-    block_with_context,
     init_block,
 )
 from ..layers.vit import ViTConfig, init_vit, vit_forward, vit_large
@@ -526,8 +524,8 @@ def aggregator_reloc(
     t_frame = _rope_tables_frame(cfg, gh, gw)
     bcfg = cfg.block_cfg
 
-    from ..layers.attention import attention
-
+    from ..layers.attention import attention_heads_out
+    from ..layers.block import attn_out_mlp, qkv_parts
     from ..parallel.sp_block import frame_block_sharded
 
     def layer(tokens, fp, rp, kv_l):
@@ -537,16 +535,13 @@ def aggregator_reloc(
         frame_out = t.reshape(B, Q, Ptok, C)
         # reloc block against cached context K/V — frame-major layout: each
         # query frame attends [scene cache ‖ itself], expressed by the
-        # (B*Q, P, C) vs (B, H, n_ctx, hd) batch split (no mask needed)
-        q = t
-        h = P.layer_norm(rp["norm1"], q, bcfg.ln_eps)
-        a = attention(rp["attn"], h, bcfg.attn, t_frame, extra_kv=kv_l)
-        q = q + P.layer_scale(rp["ls1"], a)
-        h = P.layer_norm(rp["norm2"], q, bcfg.ln_eps)
-        from ..layers.block import mlp as _mlp
-
-        q = q + P.layer_scale(rp["ls2"], _mlp(rp["mlp"], h))
-        reloc_out = q.reshape(B, Q, Ptok, C)
+        # (B*Q, P, C) vs (B, H, n_ctx, hd) batch split (no mask needed);
+        # qkv_parts / attn_out_mlp give this site the same fused kernels as
+        # the joint-forward reloc block
+        q, k, v = qkv_parts(rp, t, bcfg, t_frame)
+        o = attention_heads_out(rp["attn"], q, k, v, bcfg.attn, extra_kv=kv_l)
+        out = attn_out_mlp(rp, o, t, bcfg)
+        reloc_out = out.reshape(B, Q, Ptok, C)
         return reloc_out, frame_out, reloc_out
 
     if cfg.remat:
