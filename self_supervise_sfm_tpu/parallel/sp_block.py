@@ -81,9 +81,16 @@ def frame_block_sharded(
 
     Frame attention is independent per frame (``aggregator.py:643-670``), so
     the shard_map body is collective-free and every Pallas kernel applies to
-    the device-local frames.
+    the device-local frames. With tensor parallelism on (``model`` extent
+    > 1) the Megatron variant :func:`_block_tp` is used instead — heads and
+    MLP hidden sharded over ``model`` on top of the frame sharding.
     """
     mesh = active_mesh()
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        m = mesh.shape[MODEL_AXIS]
+        if cfg.num_heads % m == 0 and cfg.mlp_hidden % m == 0:
+            return _block_tp(p, x, cfg, rope_cos_sin, mesh)
+        return block(p, x, cfg, rope_cos_sin)
     if not _frames_shardable(x.shape[0], mesh, (DATA_AXIS, CONTEXT_AXIS)):
         return block(p, x, cfg, rope_cos_sin)
     axes = _axes_over(mesh, (DATA_AXIS, CONTEXT_AXIS))
@@ -98,6 +105,98 @@ def frame_block_sharded(
     def run(pl, xl, *rope):
         with activate_mesh(None):
             return block(pl, xl, cfg, rope if has_rope else None)
+
+    return run(p, x, *(rope_cos_sin if has_rope else ()))
+
+
+def _block_tp(
+    p,
+    x: jax.Array,
+    cfg: BlockConfig,
+    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]],
+    mesh,
+) -> jax.Array:
+    """Megatron tensor-parallel block inside one shard_map.
+
+    Attention heads and the MLP hidden dim are column-split over ``model``
+    (each device slices its head/hidden shard from the standard-layout
+    weights by ``axis_index``, so storage/converter/FSDP layouts are
+    untouched); the row-parallel out-projection and fc2 outputs are psummed,
+    biases added once after the psum. Frames additionally shard over
+    data x context when they divide. The fused LN+QKV(+RoPE) kernel and
+    flash attention run on the device-local head subset.
+    """
+    import dataclasses
+
+    m = mesh.shape[MODEL_AXIS]
+    H = cfg.num_heads
+    Hl = H // m
+    C = cfg.dim
+    d = C // H
+    Ch = cfg.mlp_hidden
+    Chl = Ch // m
+    fr_axes = _axes_over(mesh, (DATA_AXIS, CONTEXT_AXIS))
+    nf = _extent(mesh, fr_axes)
+    if nf > 1 and x.shape[0] % nf == 0:
+        spec_x = _spec1(fr_axes, 3)
+    else:
+        spec_x = P(None, None, None)
+    has_rope = rope_cos_sin is not None
+    in_specs = (P(), spec_x) + ((P(None, None), P(None, None)) if has_rope else ())
+    lcfg = dataclasses.replace(cfg, num_heads=Hl)
+
+    from ..layers import params as Pm
+    from ..layers.attention import _merge_heads, attention_heads_out
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=spec_x,
+        check_vma=False,
+    )
+    def run(pl, xl, *rope):
+        i = jax.lax.axis_index(MODEL_AXIS)
+        att = pl["attn"]
+        # column-parallel qkv: slice this device's heads out of the fused
+        # [q|k|v] weight, keeping the kernel-expected [q_local|k_local|v_local]
+        # column layout
+        wqkv = att["qkv"]["w"].reshape(C, 3, H, d)
+        wqkv = jax.lax.dynamic_slice_in_dim(wqkv, i * Hl, Hl, axis=2)
+        wqkv = wqkv.reshape(C, 3 * Hl * d)
+        local_attn = {"qkv": {"w": wqkv}}
+        if "b" in att["qkv"]:
+            bqkv = att["qkv"]["b"].reshape(3, H, d)
+            bqkv = jax.lax.dynamic_slice_in_dim(bqkv, i * Hl, Hl, axis=1)
+            local_attn["qkv"]["b"] = bqkv.reshape(3 * Hl * d)
+        for key in ("q_norm", "k_norm"):
+            if key in att:
+                local_attn[key] = att[key]
+        lp = dict(pl)
+        lp["attn"] = local_attn
+        with activate_mesh(None):
+            q, k, v = qkv_parts(lp, xl, lcfg, rope if has_rope else None)
+            o = attention_heads_out(local_attn, q, k, v, lcfg.attn)
+            merged = _merge_heads(o)  # (B, N, Hl*d)
+        # row-parallel out-projection: partial matmul + psum, bias once
+        wproj = att["proj"]["w"].reshape(H, d, C)
+        wproj = jax.lax.dynamic_slice_in_dim(wproj, i * Hl, Hl, axis=0)
+        y = merged @ wproj.reshape(Hl * d, C).astype(merged.dtype)
+        y = jax.lax.psum(y, MODEL_AXIS)
+        if "b" in att["proj"]:
+            y = y + att["proj"]["b"].astype(y.dtype)
+        xl = xl + Pm.layer_scale(pl["ls1"], y)
+        # MLP: column-parallel fc1 + gelu, row-parallel fc2 + psum
+        h = Pm.layer_norm(pl["norm2"], xl, cfg.ln_eps)
+        w1 = jax.lax.dynamic_slice_in_dim(pl["mlp"]["fc1"]["w"], i * Chl, Chl, axis=1)
+        h = h @ w1.astype(h.dtype)
+        if "b" in pl["mlp"]["fc1"]:
+            b1 = jax.lax.dynamic_slice_in_dim(pl["mlp"]["fc1"]["b"], i * Chl, Chl, axis=0)
+            h = h + b1.astype(h.dtype)
+        h = Pm.gelu(h)
+        w2 = jax.lax.dynamic_slice_in_dim(pl["mlp"]["fc2"]["w"], i * Chl, Chl, axis=0)
+        y2 = h @ w2.astype(h.dtype)
+        y2 = jax.lax.psum(y2, MODEL_AXIS)
+        if "b" in pl["mlp"]["fc2"]:
+            y2 = y2 + pl["mlp"]["fc2"]["b"].astype(y2.dtype)
+        return xl + Pm.layer_scale(pl["ls2"], y2)
 
     return run(p, x, *(rope_cos_sin if has_rope else ()))
 

@@ -146,6 +146,65 @@ class TestRelocBlock:
         )
 
 
+class TestTPBlock:
+    """Megatron shard_map block (heads/hidden over `model`) vs plain block."""
+
+    @pytest.mark.parametrize("nd,nc,nm", [(1, 1, 4), (2, 1, 2), (1, 2, 2)])
+    def test_matches_plain(self, rng, bparams, nd, nc, nm):
+        x = jnp.asarray(rng.normal(size=(8, 12, CFG.dim)).astype(np.float32))
+        tabs = rope_tables(12)
+        ref = block(bparams, x, CFG, tabs)
+        mesh = Sh.make_mesh(num_data=nd, num_context=nc, num_model=nm)
+        with Sh.activate_mesh(mesh):
+            out = jax.jit(lambda p, x: frame_block_sharded(p, x, CFG, tabs))(
+                bparams, x
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_no_rope_plain_block(self, rng, bparams):
+        x = jnp.asarray(rng.normal(size=(4, 12, CFG.dim)).astype(np.float32))
+        ref = block(bparams, x, CFG, None)
+        mesh = Sh.make_mesh(num_data=1, num_context=1, num_model=4)
+        with Sh.activate_mesh(mesh):
+            out = jax.jit(lambda p, x: frame_block_sharded(p, x, CFG, None))(
+                bparams, x
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_grads_match(self, rng, bparams):
+        x = jnp.asarray(rng.normal(size=(4, 12, CFG.dim)).astype(np.float32))
+        tabs = rope_tables(12)
+
+        def loss_plain(p, x):
+            return jnp.sum(block(p, x, CFG, tabs) ** 2)
+
+        def loss_tp(p, x):
+            return jnp.sum(frame_block_sharded(p, x, CFG, tabs) ** 2)
+
+        g_ref = jax.grad(loss_plain, argnums=(0, 1))(bparams, x)
+        mesh = Sh.make_mesh(num_data=2, num_context=1, num_model=2)
+        with Sh.activate_mesh(mesh):
+            g = jax.jit(jax.grad(loss_tp, argnums=(0, 1)))(bparams, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            g, g_ref,
+        )
+
+    def test_indivisible_heads_fall_back(self, rng):
+        cfg3 = BlockConfig(dim=48, num_heads=3, qk_norm=True)
+        p3 = jax.jit(lambda k: init_block(k, cfg3))(jax.random.PRNGKey(1))
+        x = jnp.asarray(rng.normal(size=(4, 8, 48)).astype(np.float32))
+        ref = block(p3, x, cfg3, None)
+        mesh = Sh.make_mesh(num_data=2, num_context=1, num_model=2)
+        with Sh.activate_mesh(mesh):
+            out = jax.jit(lambda p, x: frame_block_sharded(p, x, cfg3, None))(
+                p3, x
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 class TestGlobalRingBlock:
     def test_matches_plain(self, rng, bparams):
         x = jnp.asarray(rng.normal(size=(2, 32, CFG.dim)).astype(np.float32))
