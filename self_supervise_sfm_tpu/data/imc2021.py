@@ -46,7 +46,16 @@ class IMC2021Scenes:
         target_size: int = 518,
         max_pairs: Optional[int] = None,
         shared_focal: bool = False,
+        use_native: Optional[bool] = False,
+        decode_threads: int = 4,
     ):
+        """``use_native``: route decode/preprocess/sampling through the C++
+        data plane (``native/dataplane.py``) with ``decode_threads`` GIL-free
+        worker threads — the torch-DataLoader-worker equivalent
+        (``train_imc.py:503``). None = auto (native when the library builds).
+        The native sampler draws from the same certainty-weighted
+        distribution via its own RNG stream, so per-draw indices differ from
+        the numpy path (decode + preprocessing are golden-identical)."""
         self.root = root
         self.sample_num = sample_num
         self.min_corres_conf = min_corres_conf
@@ -55,6 +64,12 @@ class IMC2021Scenes:
         # every ordered pair can appear (i, j) and (j, i)
         self.max_pairs = max_pairs or num_images * (num_images - 1)
         self.shared_focal = shared_focal
+        if use_native is None:
+            from ..native import dataplane as _dp
+
+            use_native = _dp.available()
+        self.use_native = bool(use_native)
+        self.decode_threads = decode_threads
         self.scene_folders = sorted(
             d
             for d in glob.glob(os.path.join(root, "*"))
@@ -107,6 +122,8 @@ class IMC2021Scenes:
         pair_valid (max_pairs,), shared_focal.
         """
         rng = rng or np.random.default_rng()
+        if self.use_native:
+            return self._load_scene_native(idx, rng)
         folder = self.scene_folders[idx]
         h5path = glob.glob(os.path.join(folder, "*.hdf5"))[0]
         out: Dict[str, Any] = {"scene_name": os.path.basename(folder)}
@@ -173,6 +190,105 @@ class IMC2021Scenes:
                 src_coords[i], dst_coords[i] = scs, scd
                 src_depth[i], dst_depth[i] = sds, sdd
                 pair_valid[i] = 1.0
+
+        out["src_idx"] = src_idx
+        out["dst_idx"] = dst_idx
+        out["src_coords"] = src_coords
+        out["dst_coords"] = dst_coords
+        out["src_depth"] = src_depth
+        out["dst_depth"] = dst_depth
+        out["pair_valid"] = pair_valid
+        out["shared_focal"] = self.shared_focal
+        return out
+
+
+    def _load_scene_native(self, idx: int, rng: np.random.Generator):
+        """Native-data-plane scene load: HDF5 byte reads on this thread (h5py
+        is not thread-safe), decode/preprocess/sampling fanned out to GIL-free
+        C++ calls on ``decode_threads`` workers."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..native import dataplane as dp
+
+        folder = self.scene_folders[idx]
+        h5path = glob.glob(os.path.join(folder, "*.hdf5"))[0]
+        out: Dict[str, Any] = {"scene_name": os.path.basename(folder)}
+
+        with h5py.File(h5path, "r") as f:
+            names = list(f["rgb"].keys())
+            if len(names) > self.num_images:
+                names = list(rng.choice(names, self.num_images, replace=False))
+            names = sorted(names, key=_natsort_key)
+            out["image_names"] = names
+            n = len(names)
+
+            rgb_bytes, dep_bytes, K_gt, poses = [], [], [], []
+            for name in names:
+                rgb_bytes.append(np.array(f["rgb"][name]).tobytes())
+                dname = name.replace(".jpg", ".png")
+                dep_bytes.append(np.array(f["depth_pr"][dname]).tobytes())
+                tname = name.replace(".jpg", ".txt")
+                K_gt.append(np.array(f["intrinsic_gt"][tname], np.float32))
+                poses.append(np.array(f["pose_w2c_gt"][tname], np.float32))
+
+            name_to_idx = {nm: i for i, nm in enumerate(names)}
+            pair_jobs = []  # (slot, src_i, dst_i, xbytes, ybytes, cbytes, seed)
+            for pair_name in f["corres_i2j"].keys():
+                a, b = pair_name.split("_")
+                sa, sb = f"{a}.jpg", f"{b}.jpg"
+                if sa in name_to_idx and sb in name_to_idx:
+                    if len(pair_jobs) >= self.max_pairs:
+                        break
+                    g = f["corres_i2j"][pair_name]
+                    pair_jobs.append((
+                        len(pair_jobs), name_to_idx[sa], name_to_idx[sb],
+                        np.array(g[f"{pair_name}_x.png"]).tobytes(),
+                        np.array(g[f"{pair_name}_y.png"]).tobytes(),
+                        np.array(g[f"{pair_name}_conf.png"]).tobytes(),
+                        int(rng.integers(1, 1 << 62)),
+                    ))
+
+        T = self.target_size
+        with ThreadPoolExecutor(max_workers=self.decode_threads) as pool:
+            rgb_futs = [pool.submit(dp.preprocess_rgb, b, T) for b in rgb_bytes]
+            dep_futs = [
+                pool.submit(dp.preprocess_depth, b, T, True) for b in dep_bytes
+            ]
+            rgb_res = [ft.result() for ft in rgb_futs]
+            dep_res = [ft.result() for ft in dep_futs]
+
+            out["images"] = np.stack([r[0] for r in rgb_res])
+            out["depth_processed"] = np.stack([d[0] for d in dep_res])
+            out["K_to_K_prime"] = np.stack([r[1] for r in rgb_res])
+            out["K_prime_to_K"] = np.stack([r[2] for r in rgb_res])
+            out["K_gt"] = np.stack(K_gt)
+            out["poses_w2c_gt"] = np.stack(poses)
+            raws = [d[1] for d in dep_res]
+
+            K = self.sample_num
+            P = self.max_pairs
+            src_idx = np.zeros(P, np.int32)
+            dst_idx = np.zeros(P, np.int32)
+            src_coords = np.zeros((P, K, 2), np.float32)
+            dst_coords = np.zeros((P, K, 2), np.float32)
+            src_depth = np.zeros((P, K), np.float32)
+            dst_depth = np.zeros((P, K), np.float32)
+            pair_valid = np.zeros(P, np.float32)
+
+            def run_pair(job):
+                slot, si, di, xb, yb, cb, seed = job
+                return slot, si, di, dp.sample_pair(
+                    xb, yb, cb, raws[si], raws[di],
+                    K, self.min_corres_conf, seed,
+                )
+
+            for slot, si, di, (scs, scd, sds, sdd) in pool.map(
+                run_pair, pair_jobs
+            ):
+                src_idx[slot], dst_idx[slot] = si, di
+                src_coords[slot], dst_coords[slot] = scs, scd
+                src_depth[slot], dst_depth[slot] = sds, sdd
+                pair_valid[slot] = 1.0
 
         out["src_idx"] = src_idx
         out["dst_idx"] = dst_idx

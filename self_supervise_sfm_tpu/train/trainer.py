@@ -75,6 +75,9 @@ class TrainerConfig:
     # (view with tensorboard / xprof). 0 disables.
     profile_start: int = 0
     profile_steps: int = 0
+    # data plane: None = auto (C++ loader when cpp/dataplane builds — decode,
+    # preprocess and sampling off the GIL), False = pure python/PIL
+    native_loader: "bool | None" = None
     train: TrainConfig = field(default_factory=TrainConfig)
 
 
@@ -206,9 +209,9 @@ def run(cfg: TrainerConfig):
 
     ds = IMC2021Scenes(
         cfg.data_root, sample_num=cfg.sample_num, num_images=cfg.num_images,
-        target_size=cfg.img_size,
+        target_size=cfg.img_size, use_native=cfg.native_loader,
     )
-    print(f"dataset: {len(ds)} scenes")
+    print(f"dataset: {len(ds)} scenes (native_loader={ds.use_native})")
     batches = scene_stream(
         ds, num_data * cfg.scenes_per_step_per_device, cfg.seed, cfg.prefetch
     )
@@ -298,6 +301,8 @@ def main():
     ap.add_argument("--num-heads", type=int, default=16)
     ap.add_argument("--vit-depth", type=int, default=24)
     ap.add_argument("--rank", type=int, default=300)
+    ap.add_argument("--no-native-loader", action="store_true",
+                    help="force the pure-python data pipeline")
     args = ap.parse_args()
     cfg = TrainerConfig(
         data_root=args.data_root,
@@ -318,6 +323,7 @@ def main():
         num_heads=args.num_heads,
         vit_depth=args.vit_depth,
         rank=args.rank,
+        native_loader=False if args.no_native_loader else None,
         train=TrainConfig(max_lr=args.max_lr, warmup_steps=args.warmup,
                           total_steps=args.steps, loss=LossConfig(),
                           fsdp=args.fsdp, adam_mu_dtype=args.adam_mu_dtype),
