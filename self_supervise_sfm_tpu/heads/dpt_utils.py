@@ -39,18 +39,63 @@ def _interp_matrix_ac(n_out: int, n_in: int) -> np.ndarray:
     return A
 
 
-def resize_bilinear_ac(x: jax.Array, out_hw) -> jax.Array:
-    """(N, H, W, C) -> (N, H2, W2, C), bilinear, align_corners=True."""
+def _resize_einsum(x: jax.Array, out_hw) -> jax.Array:
     H2, W2 = out_hw
     N, H, W, C = x.shape
-    if (H, W) == (H2, W2):
-        return x
     Ah = jnp.asarray(_interp_matrix_ac(H2, H), x.dtype)
     Aw = jnp.asarray(_interp_matrix_ac(W2, W), x.dtype)
     with jax.default_matmul_precision("highest"):
         y = jnp.einsum("hi,niwc->nhwc", Ah, x)
         y = jnp.einsum("wj,nhjc->nhwc", Aw, y)
     return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _resize_kernel_vjp(x, out_hw):
+    from ..ops.resize import resize_bilinear_kernel
+
+    return resize_bilinear_kernel(
+        x, out_hw, _interp_matrix_ac(out_hw[1], x.shape[2])
+    )
+
+
+def _resize_kernel_fwd(x, out_hw):
+    return _resize_kernel_vjp(x, out_hw), x.shape
+
+
+def _resize_kernel_bwd(out_hw, in_shape, g):
+    # linear map: vjp = transpose contraction with the same interp matrices
+    H2, W2 = out_hw
+    _, H, W, _ = in_shape
+    Ah = jnp.asarray(_interp_matrix_ac(H2, H), g.dtype)
+    Aw = jnp.asarray(_interp_matrix_ac(W2, W), g.dtype)
+    with jax.default_matmul_precision("highest"):
+        dx = jnp.einsum("wj,nhwc->nhjc", Aw, g)
+        dx = jnp.einsum("hi,nhjc->nijc", Ah, dx)
+    return (dx,)
+
+
+_resize_kernel_vjp.defvjp(_resize_kernel_fwd, _resize_kernel_bwd)
+
+
+def resize_bilinear_ac(x: jax.Array, out_hw) -> jax.Array:
+    """(N, H, W, C) -> (N, H2, W2, C), bilinear, align_corners=True.
+
+    Large upsamples take the Pallas two-pass kernel (``ops/resize``): the
+    interp matmul stays in VMEM (no HBM-visible FLOP waste or layout copies)
+    and the H pass is a VPU 2-tap lerp. Everything else runs as the exact
+    einsum contraction (also the backward of the kernel path).
+    """
+    H2, W2 = out_hw
+    N, H, W, C = x.shape
+    if (H, W) == (H2, W2):
+        return x
+    if jax.default_backend() == "tpu":
+        from ..ops.resize import resize_kernel_applicable
+
+        if resize_kernel_applicable(x.shape, out_hw):
+            return _resize_kernel_vjp(x, tuple(out_hw))
+    return _resize_einsum(x, out_hw)
 
 
 def make_sincos_pos_embed(embed_dim: int, pos: jax.Array, omega_0: float = 100.0):
