@@ -297,4 +297,14 @@ def reloc(
             "intrinsic": intrinsic,
             "pose_enc_list": cam_maps,
         }
-    return _decode_heads(p, cfg, taps, cam_token_last_layer, (H, W), psi)
+    preds = _decode_heads(p, cfg, taps, cam_token_last_layer, (H, W), psi)
+    if "xyz_cnf" in preds:
+        # per-view fraction of point-confidence above thresholds 1.0..5.25
+        # (the reference computes exactly this in reloc, sail_recon.py:254-262
+        # — there it is dropped on the floor; here it is a real output)
+        thresholds = jnp.arange(1.0, 5.5, 0.25)
+        cnf = preds["xyz_cnf"]  # (B, Q, H, W)
+        preds["xyz_conf_fractions"] = jnp.mean(
+            (cnf[..., None] > thresholds).astype(jnp.float32), axis=(2, 3)
+        )  # (B, Q, num_thresholds)
+    return preds

@@ -20,6 +20,7 @@ import argparse
 import os
 import queue
 import threading
+import time
 
 # Under the axon TPU plugin JAX_PLATFORMS=cpu alone is not honoured; when the
 # caller asks for virtual host devices (CPU smoke runs / CI), force the cpu
@@ -225,6 +226,7 @@ def run(cfg: TrainerConfig):
         eval_fwd = make_eval_forward(model_cfg, tcfg)
         step = int(state["step"])
         profiling = False
+        last_step_time = None
         while step < cfg.total_steps:
             if cfg.profile_steps and step == cfg.profile_start and not profiling:
                 jax.profiler.start_trace(os.path.join(cfg.results_dir, "profile"))
@@ -243,7 +245,16 @@ def run(cfg: TrainerConfig):
                 profiling = False
                 print(f"profile trace written to {cfg.results_dir}/profile")
             scalars = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            # throughput counters (the BASELINE.md metric): frames processed
+            # per second per chip from the host wall-clock between steps
             frames = batch["images"].shape[0] * batch["images"].shape[1]
+            now = time.perf_counter()
+            if last_step_time is not None and now > last_step_time:
+                scalars["frames_per_sec_per_chip"] = frames / (
+                    (now - last_step_time) * max(jax.device_count(), 1)
+                )
+                scalars["steps_per_sec"] = 1.0 / (now - last_step_time)
+            last_step_time = now
             writer.write(step, scalars)
             if cfg.sanity_check_every and step % cfg.sanity_check_every == 0:
                 preds = jax.device_get(
@@ -303,7 +314,13 @@ def main():
     ap.add_argument("--rank", type=int, default=300)
     ap.add_argument("--no-native-loader", action="store_true",
                     help="force the pure-python data pipeline")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans: fail fast with a traceback "
+                         "at the op that produced the first NaN (SURVEY §5 "
+                         "NaN-guard; slows compilation, debugging only)")
     args = ap.parse_args()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = TrainerConfig(
         data_root=args.data_root,
         results_dir=args.results_dir,
