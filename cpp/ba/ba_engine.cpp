@@ -34,7 +34,25 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
+
+// OpenMP thread budget. Per-thread Schur accumulators are (6C)^2 doubles, so
+// threads are capped to keep the copies within ~512 MB total.
+int thread_count(size_t per_thread_bytes) {
+#ifdef _OPENMP
+  int t = omp_get_max_threads();
+  if (t > 16) t = 16;
+  while (t > 1 && per_thread_bytes * t > (size_t(1) << 29)) t--;
+  return t;
+#else
+  (void)per_thread_bytes;
+  return 1;
+#endif
+}
 
 // Rodrigues: axis-angle -> 3x3 row-major rotation.
 void aa_to_R(const double* aa, double* R) {
@@ -193,9 +211,12 @@ double shard_cost(const Shard& sh, const double* cam, const double* pts) {
   std::vector<double> Rcache;
   build_R_cache(cam, sh.C, Rcache);
   double cost = 0;
-  double Jc[2][6], Jp[2][3];  // unused (want_jac = false)
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : cost) schedule(static) \
+    num_threads(thread_count(0))
+#endif
   for (int o = 0; o < sh.O; o++) {
-    double r[2];
+    double r[2], Jc[2][6], Jp[2][3];
     obs_jacobian(sh, cam, pts, Rcache.data(), o, r, Jc, Jp, false);
     double r2 = r[0] * r[0] + r[1] * r[1];
     if (sh.huber > 0) {
@@ -227,6 +248,12 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
   std::vector<double> Vp(P * 9, 0.0);
   double cost = 0;
 
+  // phase A (parallel): per-observation jacobians/residuals + cost — the
+  // transcendental-heavy part; writes are disjoint per observation
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : cost) schedule(static) \
+    num_threads(thread_count(0))
+#endif
   for (int o = 0; o < O; o++) {
     double r[2], Jc[2][6], Jp[2][3];
     obs_jacobian(sh, cam, sh.pts.data(), sh.Rcache.data(), o, r, Jc, Jp, true);
@@ -249,17 +276,23 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
     std::memcpy(&sh.Jc_all[o * 12], Jc, sizeof(Jc));
     std::memcpy(&sh.Jp_all[o * 6], Jp, sizeof(Jp));
     sh.r_all[o * 2] = r[0]; sh.r_all[o * 2 + 1] = r[1];
+  }
+  // phase B (serial, cheap): scatter-accumulate into the shared system
+  for (int o = 0; o < O; o++) {
+    const double* Jc = &sh.Jc_all[o * 12];
+    const double* Jp = &sh.Jp_all[o * 6];
+    const double r0 = sh.r_all[o * 2], r1 = sh.r_all[o * 2 + 1];
     int c = sh.cam_idx[o], p = sh.pt_idx[o];
     // U blocks go straight into the shared S diagonal
     for (int i = 0; i < 6; i++) {
       for (int j = 0; j < 6; j++)
-        S[(c * 6 + i) * n + c * 6 + j] += Jc[0][i] * Jc[0][j] + Jc[1][i] * Jc[1][j];
-      rhs[c * 6 + i] -= Jc[0][i] * r[0] + Jc[1][i] * r[1];
+        S[(c * 6 + i) * n + c * 6 + j] += Jc[i] * Jc[j] + Jc[6 + i] * Jc[6 + j];
+      rhs[c * 6 + i] -= Jc[i] * r0 + Jc[6 + i] * r1;
     }
     for (int i = 0; i < 3; i++) {
       for (int j = 0; j < 3; j++)
-        Vp[p * 9 + i * 3 + j] += Jp[0][i] * Jp[0][j] + Jp[1][i] * Jp[1][j];
-      sh.bp[p * 3 + i] += Jp[0][i] * r[0] + Jp[1][i] * r[1];
+        Vp[p * 9 + i * 3 + j] += Jp[i] * Jp[j] + Jp[3 + i] * Jp[3 + j];
+      sh.bp[p * 3 + i] += Jp[i] * r0 + Jp[3 + i] * r1;
     }
   }
 
@@ -272,53 +305,85 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
     }
   }
 
-  // Schur: S -= W_a V^-1 W_b^T, rhs += W V^-1 bp, per point of this shard
-  std::vector<double> Wblk;  // per obs 6x3
-  for (int p = 0; p < P; p++) {
-    int k0 = sh.pt_start[p], k1 = sh.pt_start[p + 1];
-    int kp = k1 - k0;
-    if (kp == 0) continue;
-    Wblk.assign(kp * 18, 0.0);
-    const double* Vi = &sh.Vinv[p * 9];
-    const double* bpp = &sh.bp[p * 3];
-    double Vb[3];  // V^-1 bp
-    for (int i = 0; i < 3; i++)
-      Vb[i] = Vi[i * 3] * bpp[0] + Vi[i * 3 + 1] * bpp[1] + Vi[i * 3 + 2] * bpp[2];
-    for (int k = 0; k < kp; k++) {
-      int o = sh.pt_obs[k0 + k];
-      const double* Jc = &sh.Jc_all[o * 12];
-      const double* Jp = &sh.Jp_all[o * 6];
-      double* Wk = &Wblk[k * 18];
-      for (int i = 0; i < 6; i++)
-        for (int j = 0; j < 3; j++)
-          Wk[i * 3 + j] = Jc[0 * 6 + i] * Jp[0 * 3 + j] + Jc[1 * 6 + i] * Jp[1 * 3 + j];
-      int c = sh.cam_idx[o];
-      for (int i = 0; i < 6; i++) {
-        double s = 0;
-        for (int j = 0; j < 3; j++) s += Wk[i * 3 + j] * Vb[j];
-        rhs[c * 6 + i] += s;
+  // Schur: S -= W_a V^-1 W_b^T, rhs += W V^-1 bp, per point of this shard.
+  // Parallel over points with per-thread (S, rhs) accumulators (points
+  // sharing cameras would otherwise race); thread count capped so the
+  // (6C)^2 copies stay within budget.
+  const int nthreads = thread_count(size_t(n) * n * 8 + size_t(n) * 8);
+  std::vector<double> S_t, rhs_t;
+  if (nthreads > 1) {
+    S_t.assign(size_t(nthreads) * n * n, 0.0);
+    rhs_t.assign(size_t(nthreads) * n, 0.0);
+  }
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthreads) if (nthreads > 1)
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = nthreads > 1 ? omp_get_thread_num() : 0;
+#else
+    const int tid = 0;
+#endif
+    double* Sl = nthreads > 1 ? &S_t[size_t(tid) * n * n] : S;
+    double* rl = nthreads > 1 ? &rhs_t[size_t(tid) * n] : rhs;
+    std::vector<double> Wblk;  // per obs 6x3
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int p = 0; p < P; p++) {
+      int k0 = sh.pt_start[p], k1 = sh.pt_start[p + 1];
+      int kp = k1 - k0;
+      if (kp == 0) continue;
+      Wblk.assign(kp * 18, 0.0);
+      const double* Vi = &sh.Vinv[p * 9];
+      const double* bpp = &sh.bp[p * 3];
+      double Vb[3];  // V^-1 bp
+      for (int i = 0; i < 3; i++)
+        Vb[i] = Vi[i * 3] * bpp[0] + Vi[i * 3 + 1] * bpp[1] + Vi[i * 3 + 2] * bpp[2];
+      for (int k = 0; k < kp; k++) {
+        int o = sh.pt_obs[k0 + k];
+        const double* Jc = &sh.Jc_all[o * 12];
+        const double* Jp = &sh.Jp_all[o * 6];
+        double* Wk = &Wblk[k * 18];
+        for (int i = 0; i < 6; i++)
+          for (int j = 0; j < 3; j++)
+            Wk[i * 3 + j] = Jc[0 * 6 + i] * Jp[0 * 3 + j] + Jc[1 * 6 + i] * Jp[1 * 3 + j];
+        int c = sh.cam_idx[o];
+        for (int i = 0; i < 6; i++) {
+          double s = 0;
+          for (int j = 0; j < 3; j++) s += Wk[i * 3 + j] * Vb[j];
+          rl[c * 6 + i] += s;
+        }
+      }
+      for (int a = 0; a < kp; a++) {
+        int ca = sh.cam_idx[sh.pt_obs[k0 + a]];
+        const double* Wa = &Wblk[a * 18];
+        double WaVi[18];  // 6x3
+        for (int i = 0; i < 6; i++)
+          for (int j = 0; j < 3; j++) {
+            double s = 0;
+            for (int k = 0; k < 3; k++) s += Wa[i * 3 + k] * Vi[k * 3 + j];
+            WaVi[i * 3 + j] = s;
+          }
+        for (int b = 0; b < kp; b++) {
+          int cb = sh.cam_idx[sh.pt_obs[k0 + b]];
+          const double* Wb = &Wblk[b * 18];
+          for (int i = 0; i < 6; i++)
+            for (int j = 0; j < 6; j++) {
+              double s = 0;
+              for (int k = 0; k < 3; k++) s += WaVi[i * 3 + k] * Wb[j * 3 + k];
+              Sl[(ca * 6 + i) * n + cb * 6 + j] -= s;
+            }
+        }
       }
     }
-    for (int a = 0; a < kp; a++) {
-      int ca = sh.cam_idx[sh.pt_obs[k0 + a]];
-      const double* Wa = &Wblk[a * 18];
-      double WaVi[18];  // 6x3
-      for (int i = 0; i < 6; i++)
-        for (int j = 0; j < 3; j++) {
-          double s = 0;
-          for (int k = 0; k < 3; k++) s += Wa[i * 3 + k] * Vi[k * 3 + j];
-          WaVi[i * 3 + j] = s;
-        }
-      for (int b = 0; b < kp; b++) {
-        int cb = sh.cam_idx[sh.pt_obs[k0 + b]];
-        const double* Wb = &Wblk[b * 18];
-        for (int i = 0; i < 6; i++)
-          for (int j = 0; j < 6; j++) {
-            double s = 0;
-            for (int k = 0; k < 3; k++) s += WaVi[i * 3 + k] * Wb[j * 3 + k];
-            S[(ca * 6 + i) * n + cb * 6 + j] -= s;
-          }
-      }
+  }
+  if (nthreads > 1) {
+    for (int t = 0; t < nthreads; t++) {
+      const double* Sl = &S_t[size_t(t) * n * n];
+      const double* rl = &rhs_t[size_t(t) * n];
+      for (size_t i = 0; i < size_t(n) * n; i++) S[i] += Sl[i];
+      for (int i = 0; i < n; i++) rhs[i] += rl[i];
     }
   }
   return cost;
@@ -328,6 +393,9 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
 // and return the shard cost at (cam_new, pts_trial).
 double shard_trial(Shard& sh, const double* cam_new, const double* dc) {
   sh.pts_trial = sh.pts;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(thread_count(0))
+#endif
   for (int p = 0; p < sh.P; p++) {
     double acc[3] = {-sh.bp[p * 3], -sh.bp[p * 3 + 1], -sh.bp[p * 3 + 2]};
     for (int k = sh.pt_start[p]; k < sh.pt_start[p + 1]; k++) {

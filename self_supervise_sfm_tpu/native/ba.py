@@ -22,6 +22,59 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _np_mat_to_axis_angle(R: np.ndarray) -> np.ndarray:
+    """(N, 3, 3) -> (N, 3) axis-angle, pure numpy (float64).
+
+    The CPU solver must not touch the (possibly remote) JAX backend — a cold
+    jit of the tiny conversion op through the TPU tunnel once cost ~85 s of
+    apparent "BA time". Matches ops/geometry.mat_to_axis_angle numerically.
+    """
+    R = np.asarray(R, np.float64)
+    tr = np.clip((np.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)  # (N,)
+    w = np.stack(
+        [R[:, 2, 1] - R[:, 1, 2], R[:, 0, 2] - R[:, 2, 0],
+         R[:, 1, 0] - R[:, 0, 1]], axis=-1,
+    )
+    sin_t = np.sin(theta)
+    small = theta < 1e-6
+    near_pi = theta > np.pi - 1e-4
+    scale = np.where(small | near_pi, 0.5, theta / np.maximum(2.0 * sin_t, 1e-30))
+    aa = w * scale[:, None]
+    if near_pi.any():
+        # theta ~ pi: axis from the symmetric part, sign from w
+        for i in np.nonzero(near_pi)[0]:
+            A = (R[i] + np.eye(3)) / 2.0
+            ax = np.sqrt(np.clip(np.diag(A), 0.0, None))
+            k = int(np.argmax(ax))
+            if ax[k] > 0:
+                ax = A[:, k] / ax[k]
+                n = np.linalg.norm(ax)
+                if n > 0:
+                    ax = ax / n
+            sgn = np.sign(w[i] @ ax)
+            if sgn == 0:
+                sgn = 1.0
+            aa[i] = sgn * ax * theta[i]
+    return aa
+
+
+def _np_axis_angle_to_mat(aa: np.ndarray) -> np.ndarray:
+    """(N, 3) -> (N, 3, 3) Rodrigues, pure numpy (float64)."""
+    aa = np.asarray(aa, np.float64)
+    theta = np.linalg.norm(aa, axis=-1, keepdims=True)  # (N, 1)
+    k = aa / np.maximum(theta, 1e-30)
+    K = np.zeros(aa.shape[:-1] + (3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    st = np.sin(theta)[..., None]
+    ct = np.cos(theta)[..., None]
+    R = np.eye(3) + st * K + (1.0 - ct) * (K @ K)
+    R[theta[:, 0] < 1e-12] = np.eye(3)
+    return R
+
+
 def build(force: bool = False) -> str:
     """Compile the shared library (cached by mtime)."""
     if (
@@ -31,8 +84,8 @@ def build(force: bool = False) -> str:
     ):
         return _LIB
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB,
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return _LIB
@@ -102,12 +155,9 @@ def ba_solve(
     huber_delta: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Run the native LM-Schur solver; returns (extrinsics, points, info)."""
-    from ..ops import geometry as G
-    import jax.numpy as jnp
-
     lib = _load()
     C = extrinsics.shape[0]
-    aa = np.asarray(G.mat_to_axis_angle(jnp.asarray(extrinsics[:, :3, :3].astype(np.float32))))
+    aa = _np_mat_to_axis_angle(extrinsics[:, :3, :3])
     cam = np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
     cam = np.ascontiguousarray(cam)
     K4 = np.ascontiguousarray(
@@ -132,7 +182,7 @@ def ba_solve(
         ctypes.byref(final_cost), ctypes.byref(iters_run),
     )
     assert ret == 0
-    R = np.asarray(G.axis_angle_to_mat(jnp.asarray(cam[:, :3].astype(np.float32))))
+    R = _np_axis_angle_to_mat(cam[:, :3]).astype(np.float32)
     ext = np.concatenate([R, cam[:, 3:6, None].astype(np.float32)], axis=2)
     return ext, pts.astype(np.float32), {
         "final_cost": final_cost.value,
@@ -262,14 +312,12 @@ def ba_solve_multihost(
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as PS
 
-    from ..ops import geometry as G
-
     C = extrinsics.shape[0]
     P = points.shape[0]
     nproc = jax.process_count()
     proc = jax.process_index()
 
-    aa = np.asarray(G.mat_to_axis_angle(jnp.asarray(extrinsics[:, :3, :3].astype(np.float32))))
+    aa = _np_mat_to_axis_angle(extrinsics[:, :3, :3])
     cam = np.ascontiguousarray(
         np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
     )
@@ -381,7 +429,7 @@ def ba_solve_multihost(
         selw = np.where(owner == w)[0]
         pts_out[selw] = gathered[w, : selw.shape[0]]
 
-    R = np.asarray(G.axis_angle_to_mat(jnp.asarray(cam[:, :3].astype(np.float32))))
+    R = _np_axis_angle_to_mat(cam[:, :3]).astype(np.float32)
     ext = np.concatenate([R, cam[:, 3:6, None].astype(np.float32)], axis=2)
     return ext, pts_out.astype(np.float32), {
         "final_cost": cost,
@@ -422,12 +470,9 @@ def ba_solve_distributed(
     (pins global scale; same convention as ``ops.bundle_adjust.gauge_mask``)
     by pinning those rows/cols of the reduced camera system.
     """
-    from ..ops import geometry as G
-    import jax.numpy as jnp
-
     C = extrinsics.shape[0]
     P = points.shape[0]
-    aa = np.asarray(G.mat_to_axis_angle(jnp.asarray(extrinsics[:, :3, :3].astype(np.float32))))
+    aa = _np_mat_to_axis_angle(extrinsics[:, :3, :3])
     cam = np.ascontiguousarray(
         np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
     )
@@ -510,7 +555,7 @@ def ba_solve_distributed(
     for w, sh in enumerate(shards):
         pts_out[shard_point_global[w]] = sh.points()
         sh.close()
-    R = np.asarray(G.axis_angle_to_mat(jnp.asarray(cam[:, :3].astype(np.float32))))
+    R = _np_axis_angle_to_mat(cam[:, :3]).astype(np.float32)
     ext = np.concatenate([R, cam[:, 3:6, None].astype(np.float32)], axis=2)
     return ext, pts_out.astype(np.float32), {
         "final_cost": cost,
