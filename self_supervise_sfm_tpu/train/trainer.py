@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 import queue
+import signal
 import threading
 import time
 
@@ -207,6 +208,26 @@ def run(cfg: TrainerConfig):
     if ckpt.latest_step() is not None:
         print(f"resuming from step {ckpt.latest_step()}")
         state = ckpt.restore(template=state)
+        # orbax restores arrays COMMITTED to the default device; re-place the
+        # state on the mesh (params/opt on their FSDP/TP shardings, the rest
+        # replicated) or jit rejects the mix with the mesh-sharded batch
+        rep = Sh.replicated(mesh)
+        if fsdp or tp:
+            state["params"] = jax.device_put(
+                state["params"],
+                Sh.param_sharding(mesh, state["params"], fsdp=fsdp, tp=tp),
+            )
+            state["opt_state"] = jax.device_put(
+                state["opt_state"],
+                Sh.param_sharding(mesh, state["opt_state"], fsdp=fsdp, tp=tp),
+            )
+            for k in list(state):
+                if k not in ("params", "opt_state"):
+                    state[k] = jax.tree.map(
+                        lambda x: jax.device_put(x, rep), state[k]
+                    )
+        else:
+            state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
     ds = IMC2021Scenes(
         cfg.data_root, sample_num=cfg.sample_num, num_images=cfg.num_images,
@@ -221,13 +242,28 @@ def run(cfg: TrainerConfig):
                            console_every=cfg.log_every)
     from .loop import make_eval_forward
 
+    # preemption handling (SURVEY §5): TPU pods don't resize elastically —
+    # the idiomatic recovery is checkpoint-on-SIGTERM + restart-resume. The
+    # handler only sets a flag; the loop checkpoints at the next step edge
+    # (full train state: params, opt, PRNG key, step) and exits cleanly.
+    preempted = threading.Event()
+
+    def _on_preempt(signum, frame):
+        print(f"signal {signum}: checkpointing at next step edge", flush=True)
+        preempted.set()
+
+    prev_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _on_preempt)
+
     with Sh.activate_mesh(mesh):
         step_fn = make_train_step(model_cfg, tcfg)
         eval_fwd = make_eval_forward(model_cfg, tcfg)
         step = int(state["step"])
         profiling = False
         last_step_time = None
-        while step < cfg.total_steps:
+        while step < cfg.total_steps and not preempted.is_set():
             if cfg.profile_steps and step == cfg.profile_start and not profiling:
                 jax.profiler.start_trace(os.path.join(cfg.results_dir, "profile"))
                 profiling = True
@@ -281,6 +317,10 @@ def run(cfg: TrainerConfig):
     ckpt.wait()
     ckpt.close()
     writer.close()
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
+    if preempted.is_set():
+        print(f"preempted: state saved at step {step}; rerun to resume")
     return state
 
 

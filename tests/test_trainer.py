@@ -107,3 +107,76 @@ def test_trainer_fsdp_profile(tmp_path):
         recursive=True,
     )
     assert traces, "profiler trace not written"
+
+
+def test_trainer_preemption_checkpoint_and_resume(tmp_path, monkeypatch):
+    """SIGTERM mid-run -> clean exit with a full-state checkpoint; a rerun
+    resumes from the saved step and finishes (SURVEY §5 failure recovery)."""
+    import signal as _signal
+    from dataclasses import replace
+
+    from self_supervise_sfm_tpu.train import trainer as T
+    from self_supervise_sfm_tpu.train.loop import TrainConfig
+    from self_supervise_sfm_tpu.train.loss import LossConfig
+    from self_supervise_sfm_tpu.models import sailrecon as M
+    from self_supervise_sfm_tpu.train.metrics import MetricsWriter
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=1, num_images=2, image_size=(40, 32))
+
+    orig_make = M.make_config
+
+    def tiny_make_config(**kw):
+        kw.update(
+            dict(img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=1,
+                 intermediate_layer_idx=(0, 1, 2, 3))
+        )
+        return orig_make(**kw)
+
+    monkeypatch.setattr(M, "make_config", tiny_make_config)
+
+    handlers = {}
+    orig_signal = _signal.signal
+
+    def record_signal(sig, h):
+        handlers[sig] = h
+        return _signal.SIG_DFL
+
+    monkeypatch.setattr(_signal, "signal", record_signal)
+
+    orig_write = MetricsWriter.write
+
+    def write_and_preempt(self, step, scalars, prefix="train"):
+        orig_write(self, step, scalars, prefix)
+        if prefix == "train" and step >= 2 and _signal.SIGTERM in handlers:
+            handlers[_signal.SIGTERM](_signal.SIGTERM, None)
+
+    monkeypatch.setattr(MetricsWriter, "write", write_and_preempt)
+
+    cfg = T.TrainerConfig(
+        data_root=root,
+        results_dir=str(tmp_path / "results"),
+        total_steps=5,
+        num_images=2,
+        sample_num=64,
+        img_size=28,
+        num_context=1,
+        checkpoint_every=0,
+        artifact_every=0,
+        sanity_check_every=0,
+        log_every=1,
+        compute_dtype="float32",
+        remat=False,
+        rank=2,
+        train=TrainConfig(max_lr=1e-4, warmup_steps=2, total_steps=5, rank=2,
+                          num_images=2, loss=LossConfig(num_bins=50)),
+    )
+    state = T.run(cfg)
+    stopped_at = int(state["step"])
+    assert 2 <= stopped_at < 5  # preempted early, state saved
+    assert os.path.isdir(os.path.join(cfg.results_dir, "checkpoints"))
+
+    # resume: no preemption this time
+    monkeypatch.setattr(MetricsWriter, "write", orig_write)
+    state2 = T.run(cfg)
+    assert int(state2["step"]) == 5
