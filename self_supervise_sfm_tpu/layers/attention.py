@@ -92,8 +92,11 @@ def kv_heads(
     them and discards the output (``aggregator.py:736-737``); we only compute
     what is consumed.
     """
-    D = cfg.dim
     w = p["qkv"]["w"]
+    # derive the per-part width from the weight itself (== cfg.dim normally;
+    # == local heads * head_dim when a tensor-parallel shard_map body passes
+    # a head-sliced [q|k|v] weight, parallel/sp_block.py)
+    D = w.shape[-1] // 3
     k = x @ w[:, D : 2 * D].astype(x.dtype)
     v = x @ w[:, 2 * D :].astype(x.dtype)
     if "b" in p["qkv"]:

@@ -205,6 +205,81 @@ class TestTPBlock:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+class TestTPRelocBlock:
+    """Megatron TP block_with_context (heads over `model`, context K/V
+    computed per head shard) vs the plain context block."""
+
+    def _inputs(self, rng, B, Q, P_, nc_tok):
+        x = jnp.asarray(
+            rng.normal(size=(B * Q, P_, CFG.dim)).astype(np.float32)
+        )
+        ctx = jnp.asarray(
+            rng.normal(size=(B, nc_tok, CFG.dim)).astype(np.float32)
+        )
+        rq = rope_tables(P_)
+        cos, sin = rope_tables(nc_tok)
+        rc = (
+            jnp.broadcast_to(cos, (B,) + cos.shape),
+            jnp.broadcast_to(sin, (B,) + sin.shape),
+        )
+        return x, ctx, rq, rc
+
+    @pytest.mark.parametrize(
+        "B,Q,nd,nc,nm",
+        [
+            (2, 4, 1, 1, 4),  # pure TP, frames unsharded
+            (2, 4, 2, 1, 2),  # scenes over data x heads over model
+            (2, 4, 2, 2, 2),  # misaligned frames (B != nd with nc>1): TP only
+            (1, 8, 1, 4, 2),  # one scene, frames over context, TP heads
+        ],
+    )
+    def test_matches_plain(self, rng, bparams, B, Q, nd, nc, nm):
+        x, ctx, rq, rc = self._inputs(rng, B, Q, 12, 10)
+        ref = block_with_context(bparams, x, ctx, CFG, rq, rc)
+        mesh = Sh.make_mesh(num_data=nd, num_context=nc, num_model=nm)
+        with Sh.activate_mesh(mesh):
+            out = jax.jit(
+                lambda p, x, c: reloc_block_sharded(p, x, c, CFG, rq, rc)
+            )(bparams, x, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_grads_match(self, rng, bparams):
+        x, ctx, rq, rc = self._inputs(rng, 1, 4, 12, 10)
+
+        def loss_plain(p, x, c):
+            return jnp.sum(block_with_context(p, x, c, CFG, rq, rc) ** 2)
+
+        def loss_sharded(p, x, c):
+            return jnp.sum(reloc_block_sharded(p, x, c, CFG, rq, rc) ** 2)
+
+        g_ref = jax.grad(loss_plain, argnums=(0, 1, 2))(bparams, x, ctx)
+        mesh = Sh.make_mesh(num_data=1, num_context=2, num_model=4)
+        with Sh.activate_mesh(mesh):
+            g = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2)))(
+                bparams, x, ctx
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            g, g_ref,
+        )
+
+    def test_indivisible_heads_fall_back(self, rng):
+        cfg3 = BlockConfig(dim=48, num_heads=3, qk_norm=True)
+        p3 = jax.jit(lambda k: init_block(k, cfg3))(jax.random.PRNGKey(1))
+        rng2 = np.random.default_rng(7)
+        x = jnp.asarray(rng2.normal(size=(4, 8, 48)).astype(np.float32))
+        ctx = jnp.asarray(rng2.normal(size=(2, 6, 48)).astype(np.float32))
+        ref = block_with_context(p3, x, ctx, cfg3)
+        mesh = Sh.make_mesh(num_data=2, num_context=1, num_model=2)
+        with Sh.activate_mesh(mesh):
+            out = jax.jit(
+                lambda p, x, c: reloc_block_sharded(p, x, c, cfg3)
+            )(p3, x, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 class TestGlobalRingBlock:
     def test_matches_plain(self, rng, bparams):
         x = jnp.asarray(rng.normal(size=(2, 32, CFG.dim)).astype(np.float32))
@@ -244,3 +319,37 @@ class TestGlobalRingBlock:
                 bparams, x
             )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    @pytest.mark.parametrize("nd,nc,nm", [(1, 2, 4), (2, 2, 2), (1, 4, 2)])
+    def test_ring_with_tp(self, rng, bparams, nd, nc, nm):
+        """Ring over `context` composed with the head split over `model`."""
+        x = jnp.asarray(rng.normal(size=(2, 32, CFG.dim)).astype(np.float32))
+        tabs = rope_tables(32)
+        ref = block(bparams, x, CFG, tabs)
+        mesh = Sh.make_mesh(num_data=nd, num_context=nc, num_model=nm)
+        with Sh.activate_mesh(mesh):
+            out = jax.jit(lambda p, x: global_block_ring(p, x, CFG, tabs))(
+                bparams, x
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_ring_tp_grads_match(self, rng, bparams):
+        x = jnp.asarray(rng.normal(size=(1, 32, CFG.dim)).astype(np.float32))
+        tabs = rope_tables(32)
+
+        def loss_plain(p, x):
+            return jnp.sum(block(p, x, CFG, tabs) ** 2)
+
+        def loss_ring(p, x):
+            return jnp.sum(global_block_ring(p, x, CFG, tabs) ** 2)
+
+        g_ref = jax.grad(loss_plain, argnums=(0, 1))(bparams, x)
+        mesh = Sh.make_mesh(num_data=1, num_context=4, num_model=2)
+        with Sh.activate_mesh(mesh):
+            g = jax.jit(jax.grad(loss_ring, argnums=(0, 1)))(bparams, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            g, g_ref,
+        )
