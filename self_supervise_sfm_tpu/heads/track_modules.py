@@ -63,11 +63,15 @@ def mha(p, x_q: jax.Array, x_kv: jax.Array, num_heads: int) -> jax.Array:
 #    reference exactly: ``modules.py:168-181, 204-217``) ---------------------
 
 
-def init_attn_block(key, dim: int, mlp_ratio: float = 4.0):
+def init_attn_block(key, dim: int, mlp_ratio: float = 4.0,
+                    norm_affine: bool = True):
+    """``norm_affine=False`` for the VGGSfM dependency variant whose norm1 /
+    norm2 are ``elementwise_affine=False`` (``dependency/track_modules/
+    modules.py:156-157``); the track-head variant's are affine."""
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "norm1": P.init_layer_norm(dim),
-        "norm2": P.init_layer_norm(dim),
+        "norm1": P.init_layer_norm(dim, affine=norm_affine),
+        "norm2": P.init_layer_norm(dim, affine=norm_affine),
         "attn": init_mha(k1, dim),
         "mlp": {
             "fc1": P.init_linear(k2, dim, int(dim * mlp_ratio)),
@@ -76,24 +80,27 @@ def init_attn_block(key, dim: int, mlp_ratio: float = 4.0):
     }
 
 
-def attn_block(p, x, num_heads: int):
-    x = P.layer_norm(p["norm1"], x)
+def attn_block(p, x, num_heads: int, norm_eps: float = 1e-5):
+    x = P.layer_norm(p["norm1"], x, norm_eps)
     x = x + mha(p["attn"], x, x, num_heads)
-    x = x + P.linear(p["mlp"]["fc2"], P.gelu(P.linear(p["mlp"]["fc1"], P.layer_norm(p["norm2"], x))))
+    x = x + P.linear(p["mlp"]["fc2"], P.gelu(P.linear(p["mlp"]["fc1"], P.layer_norm(p["norm2"], x, norm_eps))))
     return x
 
 
-def init_cross_attn_block(key, dim: int, mlp_ratio: float = 4.0):
-    p = init_attn_block(key, dim, mlp_ratio)
+def init_cross_attn_block(key, dim: int, mlp_ratio: float = 4.0,
+                          norm_affine: bool = True):
+    p = init_attn_block(key, dim, mlp_ratio, norm_affine)
+    # norm_context is a default (affine) LayerNorm in BOTH variants
+    # (dependency/track_modules/modules.py:193)
     p["norm_context"] = P.init_layer_norm(dim)
     return p
 
 
-def cross_attn_block(p, x, context, num_heads: int):
-    x = P.layer_norm(p["norm1"], x)
+def cross_attn_block(p, x, context, num_heads: int, norm_eps: float = 1e-5):
+    x = P.layer_norm(p["norm1"], x, norm_eps)
     ctx = P.layer_norm(p["norm_context"], context)
     x = x + mha(p["attn"], x, ctx, num_heads)
-    x = x + P.linear(p["mlp"]["fc2"], P.gelu(P.linear(p["mlp"]["fc1"], P.layer_norm(p["norm2"], x))))
+    x = x + P.linear(p["mlp"]["fc2"], P.gelu(P.linear(p["mlp"]["fc1"], P.layer_norm(p["norm2"], x, norm_eps))))
     return x
 
 
@@ -111,35 +118,48 @@ class UpdateFormerConfig:
     mlp_ratio: float = 4.0
     add_space_attn: bool = True
     num_virtual_tracks: int = 64
+    # the track-head variant wraps the transformer in input/output LayerNorms
+    # (``heads/track_modules/blocks.py:45,49``); the VGGSfM dependency variant
+    # has neither (``dependency/track_modules/blocks.py:200-201,269,314``)
+    use_norms: bool = True
+    # block norm1/norm2 flavour: affine eps-1e-5 (track-head variant) vs
+    # affine-free eps-1e-6 (dependency variant, modules.py:156-157)
+    block_norm_affine: bool = True
+    block_norm_eps: float = 1e-5
 
 
 def init_updateformer(key, cfg: UpdateFormerConfig):
     keys = jax.random.split(key, 6)
     p = {
-        "input_norm": P.init_layer_norm(cfg.input_dim),
         "input_transform": P.init_linear(keys[0], cfg.input_dim, cfg.hidden_size),
-        "output_norm": P.init_layer_norm(cfg.hidden_size),
         "flow_head": P.init_linear(keys[1], cfg.hidden_size, cfg.output_dim),
         "time_blocks": [
-            init_attn_block(k, cfg.hidden_size, cfg.mlp_ratio)
+            init_attn_block(k, cfg.hidden_size, cfg.mlp_ratio,
+                            cfg.block_norm_affine)
             for k in jax.random.split(keys[2], cfg.time_depth)
         ],
     }
+    if cfg.use_norms:
+        p["input_norm"] = P.init_layer_norm(cfg.input_dim)
+        p["output_norm"] = P.init_layer_norm(cfg.hidden_size)
     if cfg.add_space_attn:
         p["virtual_tracks"] = jax.random.normal(
             keys[3], (1, cfg.num_virtual_tracks, 1, cfg.hidden_size)
         )
         p["space_virtual_blocks"] = [
-            init_attn_block(k, cfg.hidden_size, cfg.mlp_ratio)
+            init_attn_block(k, cfg.hidden_size, cfg.mlp_ratio,
+                            cfg.block_norm_affine)
             for k in jax.random.split(keys[4], cfg.space_depth)
         ]
         kp, kv = jax.random.split(keys[5])
         p["space_point2virtual_blocks"] = [
-            init_cross_attn_block(k, cfg.hidden_size, cfg.mlp_ratio)
+            init_cross_attn_block(k, cfg.hidden_size, cfg.mlp_ratio,
+                                  cfg.block_norm_affine)
             for k in jax.random.split(kp, cfg.space_depth)
         ]
         p["space_virtual2point_blocks"] = [
-            init_cross_attn_block(k, cfg.hidden_size, cfg.mlp_ratio)
+            init_cross_attn_block(k, cfg.hidden_size, cfg.mlp_ratio,
+                                  cfg.block_norm_affine)
             for k in jax.random.split(kv, cfg.space_depth)
         ]
     return p
@@ -152,7 +172,8 @@ def updateformer(p, x: jax.Array, cfg: UpdateFormerConfig) -> jax.Array:
     interleaved time attention (over T per track) and virtual-track space
     attention (over tracks per timestep).
     """
-    x = P.layer_norm(p["input_norm"], x)
+    if cfg.use_norms:
+        x = P.layer_norm(p["input_norm"], x)
     tokens = P.linear(p["input_transform"], x)
     init_tokens = tokens
     B, N0, T, C = tokens.shape
@@ -173,18 +194,21 @@ def updateformer(p, x: jax.Array, cfg: UpdateFormerConfig) -> jax.Array:
     j = 0
     for i, tb in enumerate(p["time_blocks"]):
         tt = tokens.reshape(B * N, T, C)
-        tt = attn_block(tb, tt, cfg.num_heads)
+        tt = attn_block(tb, tt, cfg.num_heads, cfg.block_norm_eps)
         tokens = tt.reshape(B, N, T, C)
         if cfg.add_space_attn and i % stride == 0:
             st = tokens.transpose(0, 2, 1, 3).reshape(B * T, N, C)
             pts = st[:, : N - cfg.num_virtual_tracks]
             virt = st[:, N - cfg.num_virtual_tracks :]
             virt = cross_attn_block(
-                p["space_virtual2point_blocks"][j], virt, pts, cfg.num_heads
+                p["space_virtual2point_blocks"][j], virt, pts, cfg.num_heads,
+                cfg.block_norm_eps,
             )
-            virt = attn_block(p["space_virtual_blocks"][j], virt, cfg.num_heads)
+            virt = attn_block(p["space_virtual_blocks"][j], virt,
+                              cfg.num_heads, cfg.block_norm_eps)
             pts = cross_attn_block(
-                p["space_point2virtual_blocks"][j], pts, virt, cfg.num_heads
+                p["space_point2virtual_blocks"][j], pts, virt, cfg.num_heads,
+                cfg.block_norm_eps,
             )
             st = jnp.concatenate([pts, virt], axis=1)
             tokens = st.reshape(B, T, N, C).transpose(0, 2, 1, 3)
@@ -193,7 +217,8 @@ def updateformer(p, x: jax.Array, cfg: UpdateFormerConfig) -> jax.Array:
     if cfg.add_space_attn:
         tokens = tokens[:, : N - cfg.num_virtual_tracks]
     tokens = tokens + init_tokens
-    tokens = P.layer_norm(p["output_norm"], tokens)
+    if cfg.use_norms:
+        tokens = P.layer_norm(p["output_norm"], tokens)
     return P.linear(p["flow_head"], tokens)
 
 
@@ -211,11 +236,18 @@ def avg_pool2x2(x: jax.Array) -> jax.Array:
 
 
 def build_fmap_pyramid(fmaps: jax.Array, num_levels: int) -> List[jax.Array]:
-    """(B, S, H, W, C) -> list of ``num_levels`` maps, each half-res."""
+    """(B, S, H, W, C) -> list of ``num_levels`` maps, each half-res.
+
+    Pooling stops once a spatial dim would fall below 2 (the remaining levels
+    repeat the coarsest map) — identical to the reference wherever the
+    reference's pyramid is well-formed; torch ``avg_pool2d(k=2)`` on a 1-px
+    map would produce a 0-size level and crash (tiny smoke-test images).
+    """
     pyr = [fmaps]
     cur = fmaps
     for _ in range(num_levels - 1):
-        cur = avg_pool2x2(cur)
+        if min(cur.shape[-3], cur.shape[-2]) >= 2:
+            cur = avg_pool2x2(cur)
         pyr.append(cur)
     return pyr
 

@@ -173,6 +173,12 @@ class VGGSfMPredictorConfig:
             hidden_size=self.hidden_size,
             output_dim=self.latent_dim + 2,
             add_space_attn=self.use_spaceatt,
+            # the dependency-variant EfficientUpdateFormer has no input/output
+            # LayerNorms (dependency/track_modules/blocks.py:269,314) and its
+            # block norms are affine-free eps-1e-6 (modules.py:156-157)
+            use_norms=False,
+            block_norm_affine=False,
+            block_norm_eps=1e-6,
         )
 
 
@@ -218,9 +224,19 @@ def vggsfm_predictor(
 
         flows = (coords - coords[:, 0:1]).transpose(0, 2, 1, 3)
         flows_emb = get_2d_embedding(flows, cfg.latent_dim // 2, cat_coords=False)
+        # the dependency variant appends the raw flows to the embedding
+        # (base_track_predictor.py:139 ``cat([flows_emb, flows])``; the
+        # track-head variant instead appends flows/max_scale twice)
+        flows_emb = jnp.concatenate([flows_emb, flows], axis=-1)
         tf_ = track_feats.transpose(0, 2, 1, 3)
         x = jnp.concatenate([flows_emb, fcorrs_, tf_], axis=-1)
         pad = cfg.transformer_dim - x.shape[-1]
+        assert pad >= 0, (
+            f"corr/latent config overflows transformer_dim by {-pad} "
+            "(the reference pads up only, base_track_predictor.py:146-149; "
+            "pick corr_levels/corr_radius with (corr_dim + 2*latent) % 4 >= 2 "
+            "headroom)"
+        )
         if pad:
             x = jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], -1)
         x = x + sampled_pos[:, :, None, :]
@@ -260,9 +276,9 @@ class VGGSfMTrackerConfig:
 def init_vggsfm_tracker(key, cfg: VGGSfMTrackerConfig):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
-        "coarse_fnet": init_basic_encoder(k1),
+        "coarse_fnet": init_basic_encoder(k1, cfg.coarse.latent_dim),
         "coarse_predictor": init_vggsfm_predictor(k2, cfg.coarse),
-        "fine_fnet": init_shallow_encoder(k3),
+        "fine_fnet": init_shallow_encoder(k3, cfg.fine.latent_dim),
         "fine_predictor": init_vggsfm_predictor(k4, cfg.fine),
     }
 

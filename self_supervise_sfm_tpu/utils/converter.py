@@ -213,10 +213,10 @@ def convert_torch_mha(sd: StateDict, prefix: str):
     return p
 
 
-def _convert_track_attn_block(sd: StateDict, prefix: str, cross: bool):
+def _convert_track_attn_block(
+    sd: StateDict, prefix: str, cross: bool, norm_affine: bool = True
+):
     p = {
-        "norm1": convert_ln(sd, f"{prefix}.norm1"),
-        "norm2": convert_ln(sd, f"{prefix}.norm2"),
         "attn": convert_torch_mha(
             sd, f"{prefix}.cross_attn" if cross else f"{prefix}.attn"
         ),
@@ -225,38 +225,63 @@ def _convert_track_attn_block(sd: StateDict, prefix: str, cross: bool):
             "fc2": convert_linear(sd, f"{prefix}.mlp.fc2"),
         },
     }
+    if norm_affine:
+        p["norm1"] = convert_ln(sd, f"{prefix}.norm1")
+        p["norm2"] = convert_ln(sd, f"{prefix}.norm2")
+    else:
+        # dependency-variant blocks: elementwise_affine=False — no params
+        p["norm1"] = {}
+        p["norm2"] = {}
     if cross:
         p["norm_context"] = convert_ln(sd, f"{prefix}.norm_context")
     return p
 
 
-def convert_updateformer(sd: StateDict, prefix: str, time_depth: int, space_depth: int):
+def convert_updateformer(
+    sd: StateDict,
+    prefix: str,
+    time_depth: int,
+    space_depth: int,
+    use_norms: bool = True,
+    block_norm_affine: bool = True,
+):
+    """``use_norms``/``block_norm_affine``: True for the track-head variant
+    (``heads/track_modules/blocks.py``), False for the VGGSfM dependency
+    variant (``dependency/track_modules/blocks.py`` — no input/output norms,
+    affine-free block norms)."""
     p = {
-        "input_norm": convert_ln(sd, f"{prefix}.input_norm"),
         "input_transform": convert_linear(sd, f"{prefix}.input_transform"),
-        "output_norm": convert_ln(sd, f"{prefix}.output_norm"),
         "flow_head": convert_linear(sd, f"{prefix}.flow_head"),
         "time_blocks": [
-            _convert_track_attn_block(sd, f"{prefix}.time_blocks.{i}", False)
+            _convert_track_attn_block(
+                sd, f"{prefix}.time_blocks.{i}", False, block_norm_affine
+            )
             for i in range(time_depth)
         ],
     }
+    if use_norms:
+        p["input_norm"] = convert_ln(sd, f"{prefix}.input_norm")
+        p["output_norm"] = convert_ln(sd, f"{prefix}.output_norm")
     if space_depth:
         # (sic) the reference parameter is named "virual_tracks"
         p["virtual_tracks"] = jnp.asarray(sd[f"{prefix}.virual_tracks"])
         p["space_virtual_blocks"] = [
-            _convert_track_attn_block(sd, f"{prefix}.space_virtual_blocks.{i}", False)
+            _convert_track_attn_block(
+                sd, f"{prefix}.space_virtual_blocks.{i}", False, block_norm_affine
+            )
             for i in range(space_depth)
         ]
         p["space_point2virtual_blocks"] = [
             _convert_track_attn_block(
-                sd, f"{prefix}.space_point2virtual_blocks.{i}", True
+                sd, f"{prefix}.space_point2virtual_blocks.{i}", True,
+                block_norm_affine,
             )
             for i in range(space_depth)
         ]
         p["space_virtual2point_blocks"] = [
             _convert_track_attn_block(
-                sd, f"{prefix}.space_virtual2point_blocks.{i}", True
+                sd, f"{prefix}.space_virtual2point_blocks.{i}", True,
+                block_norm_affine,
             )
             for i in range(space_depth)
         ]
@@ -320,3 +345,86 @@ def convert_vit(sd: StateDict, prefix: str, depth: int):
         "norm": convert_ln(sd, f"{pfx}norm"),
     }
     return p
+
+
+# -- VGGSfM standalone tracker (facebook/VGGSfM vggsfm_v2_tracker.pt) ---------
+
+
+def convert_vggsfm_residual_block(sd: StateDict, prefix: str):
+    """``dependency/track_modules/modules.py:40-104`` (instance norms carry no
+    params; downsample = Sequential(Conv2d, norm) -> ``.downsample.0``)."""
+    p = {
+        "conv1": convert_conv(sd, f"{prefix}.conv1"),
+        "conv2": convert_conv(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        p["downsample"] = convert_conv(sd, f"{prefix}.downsample.0")
+    return p
+
+
+def convert_basic_encoder(sd: StateDict, prefix: str):
+    """``dependency/track_modules/blocks.py:25-98`` (stride-4 CNN)."""
+    return {
+        "conv1": convert_conv(sd, f"{prefix}.conv1"),
+        **{
+            f"layer{i}": [
+                convert_vggsfm_residual_block(sd, f"{prefix}.layer{i}.0"),
+                convert_vggsfm_residual_block(sd, f"{prefix}.layer{i}.1"),
+            ]
+            for i in (1, 2, 3, 4)
+        },
+        "conv2": convert_conv(sd, f"{prefix}.conv2"),
+        "conv3": convert_conv(sd, f"{prefix}.conv3"),
+    }
+
+
+def convert_shallow_encoder(sd: StateDict, prefix: str):
+    """``dependency/track_modules/blocks.py:105-168`` (stride-1 patch CNN)."""
+    return {
+        "conv1": convert_conv(sd, f"{prefix}.conv1"),
+        "layer1": convert_vggsfm_residual_block(sd, f"{prefix}.layer1"),
+        "layer2": convert_vggsfm_residual_block(sd, f"{prefix}.layer2"),
+        "conv2": convert_conv(sd, f"{prefix}.conv2"),
+    }
+
+
+def convert_vggsfm_predictor(sd: StateDict, prefix: str, depth: int,
+                             use_spaceatt: bool, fine: bool):
+    """``dependency/track_modules/base_track_predictor.py:15-72``: the
+    dependency-variant updateformer (no input/output norms, affine-free block
+    norms), GroupNorm(1, C) feature norm, ffeat_updater Sequential, and a
+    vis_predictor on the coarse predictor only."""
+    p = {
+        "updateformer": convert_updateformer(
+            sd, f"{prefix}.updateformer", time_depth=depth,
+            space_depth=depth if use_spaceatt else 0,
+            use_norms=False, block_norm_affine=False,
+        ),
+        # GroupNorm(1, C) on (M, C) rows == LayerNorm(C): weights map 1:1
+        "norm": convert_ln(sd, f"{prefix}.norm"),
+        "ffeat_updater": convert_linear(sd, f"{prefix}.ffeat_updater.0"),
+    }
+    if not fine:
+        p["vis_predictor"] = convert_linear(sd, f"{prefix}.vis_predictor.0")
+    return p
+
+
+def convert_vggsfm_tracker(sd: StateDict, cfg=None):
+    """Full ``TrackerPredictor`` checkpoint (``dependency/vggsfm_tracker.py:
+    25-148``; weights published as facebook/VGGSfM ``vggsfm_v2_tracker.pt``)
+    -> ``pipeline/vggsfm_tracker.init_vggsfm_tracker`` param tree."""
+    from ..pipeline.vggsfm_tracker import VGGSfMTrackerConfig
+
+    cfg = cfg or VGGSfMTrackerConfig()
+    return {
+        "coarse_fnet": convert_basic_encoder(sd, "coarse_fnet"),
+        "coarse_predictor": convert_vggsfm_predictor(
+            sd, "coarse_predictor", cfg.coarse.depth,
+            cfg.coarse.use_spaceatt, cfg.coarse.fine,
+        ),
+        "fine_fnet": convert_shallow_encoder(sd, "fine_fnet"),
+        "fine_predictor": convert_vggsfm_predictor(
+            sd, "fine_predictor", cfg.fine.depth,
+            cfg.fine.use_spaceatt, cfg.fine.fine,
+        ),
+    }

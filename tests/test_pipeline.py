@@ -51,7 +51,7 @@ class TestPredictTracks:
         from self_supervise_sfm_tpu.pipeline import vggsfm_tracker as VT
 
         cfg = VT.VGGSfMTrackerConfig(
-            coarse=VT.VGGSfMPredictorConfig(stride=4, depth=2, corr_levels=3,
+            coarse=VT.VGGSfMPredictorConfig(stride=4, depth=2, corr_levels=2,
                                             corr_radius=2, hidden_size=64),
             fine=VT.VGGSfMPredictorConfig(stride=1, depth=2, corr_levels=3,
                                           corr_radius=3, latent_dim=32,

@@ -136,7 +136,7 @@ class TestEndToEnd:
         # shrink encoders to match latent 32? coarse encoder outputs 128 —
         # predictor latent must match; use default 128 coarse latent instead
         cfg = VT.VGGSfMTrackerConfig(
-            coarse=VT.VGGSfMPredictorConfig(stride=4, depth=2, corr_levels=3,
+            coarse=VT.VGGSfMPredictorConfig(stride=4, depth=2, corr_levels=2,
                                             corr_radius=2, hidden_size=64),
             fine=cfg.fine, pradius=7, fine_iters=2,
         )
@@ -148,4 +148,129 @@ class TestEndToEnd:
         assert fine.shape == (B, S, N, 2) and vis.shape == (B, S, N)
         np.testing.assert_allclose(np.asarray(fine[:, 0]), np.asarray(coarse[:, 0]),
                                    atol=1e-4)
+        assert np.isfinite(np.asarray(fine)).all()
+
+
+class TestDependencyUpdateformerGolden:
+    """The dependency-variant EfficientUpdateFormer differs from the
+    track-head variant: no input/output LayerNorms, affine-free eps-1e-6
+    block norms, raw flows appended to the embedding."""
+
+    def test_updateformer_matches_torch(self, torch, rng):
+        from sailrecon.dependency.track_modules.blocks import (
+            EfficientUpdateFormer,
+        )
+
+        m = EfficientUpdateFormer(
+            space_depth=2, time_depth=2, input_dim=116, hidden_size=64,
+            num_heads=8, output_dim=34, mlp_ratio=4.0, add_space_attn=True,
+            num_virtual_tracks=8,
+        ).eval()
+        sd = {f"uf.{k}": v for k, v in C.torch_module_to_state_dict(m).items()}
+        p = C.convert_updateformer(
+            sd, "uf", time_depth=2, space_depth=2,
+            use_norms=False, block_norm_affine=False,
+        )
+        from self_supervise_sfm_tpu.heads.track_modules import (
+            UpdateFormerConfig, updateformer,
+        )
+
+        cfg = UpdateFormerConfig(
+            space_depth=2, time_depth=2, input_dim=116, hidden_size=64,
+            output_dim=34, add_space_attn=True, num_virtual_tracks=8,
+            use_norms=False, block_norm_affine=False, block_norm_eps=1e-6,
+        )
+        x = rng.normal(size=(2, 5, 3, 116)).astype(np.float32)
+        ref = to_np(m(torch.from_numpy(x)))
+        out = updateformer(p, jnp.asarray(x), cfg)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+    def test_coarse_predictor_matches_torch(self, torch, rng):
+        from sailrecon.dependency.track_modules.base_track_predictor import (
+            BaseTrackerPredictor,
+        )
+
+        kw = dict(stride=4, corr_levels=2, corr_radius=2, latent_dim=32,
+                  hidden_size=64, depth=2, use_spaceatt=True)
+        m = BaseTrackerPredictor(**kw).eval()
+        sd = C.torch_module_to_state_dict(m)
+        sd = {f"pred.{k}": v for k, v in sd.items()}
+        p = C.convert_vggsfm_predictor(
+            sd, "pred", depth=2, use_spaceatt=True, fine=False
+        )
+        cfg = VT.VGGSfMPredictorConfig(**kw)
+        B, S, N, HH, WW, Cdim = 1, 3, 6, 16, 16, 32
+        fmaps = rng.normal(size=(B, S, HH, WW, Cdim)).astype(np.float32)
+        qp = rng.uniform(8, 56, size=(B, N, 2)).astype(np.float32)
+        with torch.no_grad():
+            ref_coords, ref_vis = m(
+                torch.from_numpy(qp),
+                torch.from_numpy(fmaps.transpose(0, 1, 4, 2, 3)),
+                iters=2, down_ratio=2,
+            )
+        coords, vis = VT.vggsfm_predictor(
+            p, jnp.asarray(qp), jnp.asarray(fmaps), cfg, iters=2, down_ratio=2
+        )
+        # iteration 1 is tight (1e-4); random-weight refinement amplifies fp
+        # noise ~300x per iteration, so iteration 2 gets a looser budget —
+        # a column-layout bug would already blow iteration 1 by O(1)
+        np.testing.assert_allclose(
+            np.asarray(coords[0]), to_np(ref_coords[0]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(coords[1]), to_np(ref_coords[1]), atol=5e-2
+        )
+        np.testing.assert_allclose(np.asarray(vis), to_np(ref_vis), atol=1e-2)
+
+    def test_convert_full_tracker_tree(self, torch, rng):
+        """Composed TrackerPredictor-layout state dict -> param tree matching
+        init_vggsfm_tracker's structure, and the converted tracker runs."""
+        from sailrecon.dependency.track_modules.base_track_predictor import (
+            BaseTrackerPredictor,
+        )
+        from sailrecon.dependency.track_modules.blocks import (
+            BasicEncoder, ShallowEncoder,
+        )
+
+        cfg = VT.VGGSfMTrackerConfig(
+            coarse=VT.VGGSfMPredictorConfig(stride=4, corr_levels=2,
+                                            corr_radius=2, latent_dim=32,
+                                            hidden_size=64, depth=2),
+            fine=VT.VGGSfMPredictorConfig(stride=1, depth=2, corr_levels=3,
+                                          corr_radius=3, latent_dim=32,
+                                          hidden_size=256, fine=True,
+                                          use_spaceatt=False),
+            pradius=7, fine_iters=2,
+        )
+        sd = {}
+        for name, mod in [
+            ("coarse_fnet", BasicEncoder(stride=4, output_dim=32)),
+            ("coarse_predictor", BaseTrackerPredictor(
+                stride=4, corr_levels=2, corr_radius=2, latent_dim=32,
+                hidden_size=64, depth=2)),
+            ("fine_fnet", ShallowEncoder(stride=1, output_dim=32)),
+            ("fine_predictor", BaseTrackerPredictor(
+                stride=1, corr_levels=3, corr_radius=3, latent_dim=32,
+                hidden_size=256, depth=2, fine=True, use_spaceatt=False)),
+        ]:
+            for k, v in C.torch_module_to_state_dict(mod).items():
+                sd[f"{name}.{k}"] = v
+        # fine cfg depth mismatch vs our default: convert with matching cfg
+        p = C.convert_vggsfm_tracker(sd, cfg=VT.VGGSfMTrackerConfig(
+            coarse=cfg.coarse,
+            fine=VT.VGGSfMPredictorConfig(stride=1, depth=2, corr_levels=3,
+                                          corr_radius=3, latent_dim=32,
+                                          hidden_size=256, fine=True,
+                                          use_spaceatt=False),
+            pradius=7, fine_iters=2,
+        ))
+        ref_tree = VT.init_vggsfm_tracker(jax.random.PRNGKey(0), cfg)
+        ref_shapes = jax.tree.map(lambda x: jnp.shape(x), ref_tree)
+        got_shapes = jax.tree.map(lambda x: jnp.shape(x), p)
+        assert jax.tree_util.tree_structure(ref_shapes) == \
+            jax.tree_util.tree_structure(got_shapes)
+        assert ref_shapes == got_shapes
+        images = jnp.asarray(rng.uniform(size=(1, 3, 64, 64, 3)).astype(np.float32))
+        qp = jnp.asarray(rng.uniform(12, 50, size=(1, 5, 2)).astype(np.float32))
+        fine, coarse, vis = VT.track(p, images, qp, cfg, coarse_iters=2)
         assert np.isfinite(np.asarray(fine)).all()
