@@ -11,8 +11,11 @@ Replaces the ``pycolmap``-backed bridge ``sailrecon/dependency/np_to_pycolmap.py
 - :func:`reconstruction_to_batch_matrix` mirrors
   ``pycolmap_to_batch_np_matrix`` (``:160-209``);
 - :func:`Reconstruction.write_text` / :func:`read_text` emit/read the COLMAP
-  sparse text model (cameras.txt / images.txt / points3D.txt) so results can
-  be consumed by the wider COLMAP tool ecosystem without pycolmap;
+  sparse text model (cameras.txt / images.txt / points3D.txt), and
+  :func:`Reconstruction.write_binary` / :func:`read_binary` the binary model
+  (cameras.bin / images.bin / points3D.bin — what COLMAP tools emit by
+  default), so results interoperate with the COLMAP ecosystem without
+  pycolmap;
 - :func:`refine` runs the in-framework LM bundle adjuster
   (``ops/bundle_adjust``) instead of COLMAP BA.
 """
@@ -20,12 +23,20 @@ Replaces the ``pycolmap``-backed bridge ``sailrecon/dependency/np_to_pycolmap.py
 from __future__ import annotations
 
 import os
+import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..ops import geometry as G
+
+# COLMAP camera-model ids (src/colmap/sensor/models.h); only the pinhole
+# family is producible from predicted intrinsics, matching the reference's
+# SIMPLE_PINHOLE/PINHOLE choice (np_to_pycolmap.py:314-355)
+_CAMERA_MODEL_IDS = {"SIMPLE_PINHOLE": 0, "PINHOLE": 1}
+_CAMERA_MODEL_NAMES = {v: k for k, v in _CAMERA_MODEL_IDS.items()}
+_CAMERA_NUM_PARAMS = {"SIMPLE_PINHOLE": 3, "PINHOLE": 4}
 
 
 @dataclass
@@ -161,6 +172,87 @@ class Reconstruction:
                     float(parts[7]),
                     track,
                 )
+        return rec
+
+
+    # -- COLMAP binary model IO ----------------------------------------------
+    # Little-endian layout per colmap/scripts/python/read_write_model.py.
+
+    def write_binary(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "cameras.bin"), "wb") as f:
+            f.write(struct.pack("<Q", len(self.cameras)))
+            for cam in self.cameras.values():
+                f.write(struct.pack(
+                    "<iiQQ", cam.camera_id, _CAMERA_MODEL_IDS[cam.model],
+                    cam.width, cam.height,
+                ))
+                f.write(np.asarray(cam.params, "<f8").tobytes())
+        with open(os.path.join(out_dir, "images.bin"), "wb") as f:
+            f.write(struct.pack("<Q", len(self.images)))
+            for im in self.images.values():
+                f.write(struct.pack("<i", im.image_id))
+                f.write(np.asarray(im.qvec_wxyz, "<f8").tobytes())
+                f.write(np.asarray(im.tvec, "<f8").tobytes())
+                f.write(struct.pack("<i", im.camera_id))
+                f.write(im.name.encode() + b"\x00")
+                f.write(struct.pack("<Q", len(im.xys)))
+                obs = np.empty((len(im.xys), 3), "<f8")
+                obs[:, :2] = im.xys
+                # COLMAP stores POINT3D_ID as int64; -1 marks no 3D point
+                obs[:, 2:].view("<i8")[:, 0] = im.point3d_ids
+                f.write(obs.tobytes())
+        with open(os.path.join(out_dir, "points3D.bin"), "wb") as f:
+            f.write(struct.pack("<Q", len(self.points3d)))
+            for pt in self.points3d.values():
+                f.write(struct.pack("<q", pt.point3d_id))
+                f.write(np.asarray(pt.xyz, "<f8").tobytes())
+                f.write(struct.pack("<BBB", *(int(v) for v in pt.rgb)))
+                f.write(struct.pack("<d", pt.error))
+                f.write(struct.pack("<Q", len(pt.track)))
+                for iid, idx in pt.track:
+                    f.write(struct.pack("<ii", iid, idx))
+        return out_dir
+
+    @staticmethod
+    def read_binary(model_dir: str) -> "Reconstruction":
+        rec = Reconstruction()
+        with open(os.path.join(model_dir, "cameras.bin"), "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            for _ in range(n):
+                cid, mid, w, h = struct.unpack("<iiQQ", f.read(24))
+                model = _CAMERA_MODEL_NAMES[mid]
+                np_params = _CAMERA_NUM_PARAMS[model]
+                params = np.frombuffer(f.read(8 * np_params), "<f8").copy()
+                rec.cameras[cid] = Camera(cid, model, int(w), int(h), params)
+        with open(os.path.join(model_dir, "images.bin"), "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            for _ in range(n):
+                (iid,) = struct.unpack("<i", f.read(4))
+                qt = np.frombuffer(f.read(56), "<f8")
+                (cam_id,) = struct.unpack("<i", f.read(4))
+                name = b""
+                while (c := f.read(1)) != b"\x00":
+                    name += c
+                (num_pts,) = struct.unpack("<Q", f.read(8))
+                obs = np.frombuffer(f.read(24 * num_pts), "<f8").reshape(-1, 3)
+                im = ImageRecord(
+                    iid, name.decode(), cam_id, qt[:4].copy(), qt[4:].copy()
+                )
+                im.xys = obs[:, :2].copy()
+                im.point3d_ids = obs[:, 2:].view("<i8")[:, 0].copy()
+                rec.images[iid] = im
+        with open(os.path.join(model_dir, "points3D.bin"), "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            for _ in range(n):
+                (pid,) = struct.unpack("<q", f.read(8))
+                xyz = np.frombuffer(f.read(24), "<f8").copy()
+                rgb = np.asarray(struct.unpack("<BBB", f.read(3)))
+                (err,) = struct.unpack("<d", f.read(8))
+                (tl,) = struct.unpack("<Q", f.read(8))
+                raw = struct.unpack(f"<{2 * tl}i", f.read(8 * tl))
+                track = [(raw[2 * i], raw[2 * i + 1]) for i in range(tl)]
+                rec.points3d[pid] = Point3D(pid, xyz, rgb, err, track)
         return rec
 
 

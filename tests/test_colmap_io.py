@@ -36,6 +36,63 @@ class TestReconstruction:
         np.testing.assert_allclose(e1, e2, atol=1e-6)
         np.testing.assert_allclose(k1, k2, atol=1e-4)
 
+    def test_build_and_roundtrip_binary(self, rng, tmp_path):
+        """cameras.bin/images.bin/points3D.bin round-trip is exact (binary
+        stores full doubles, unlike the %.10g/%.4f text truncation)."""
+        rec, valid, _ = build_reconstruction(rng)
+        out = rec.write_binary(str(tmp_path / "sparse_bin"))
+        rec2 = CIO.Reconstruction.read_binary(out)
+        assert set(rec2.cameras) == set(rec.cameras)
+        assert set(rec2.images) == set(rec.images)
+        assert set(rec2.points3d) == set(rec.points3d)
+        for cid, cam in rec.cameras.items():
+            c2 = rec2.cameras[cid]
+            assert (c2.model, c2.width, c2.height) == (cam.model, cam.width, cam.height)
+            np.testing.assert_array_equal(c2.params, cam.params)
+        for iid, im in rec.images.items():
+            i2 = rec2.images[iid]
+            assert (i2.name, i2.camera_id) == (im.name, im.camera_id)
+            np.testing.assert_array_equal(i2.qvec_wxyz, im.qvec_wxyz)
+            np.testing.assert_array_equal(i2.tvec, im.tvec)
+            np.testing.assert_array_equal(i2.xys, im.xys)
+            np.testing.assert_array_equal(i2.point3d_ids, im.point3d_ids)
+        for pid, pt in rec.points3d.items():
+            p2 = rec2.points3d[pid]
+            np.testing.assert_array_equal(p2.xyz, pt.xyz)
+            np.testing.assert_array_equal(p2.rgb, pt.rgb)
+            assert p2.error == pt.error and p2.track == pt.track
+
+    def test_binary_matches_text_model(self, rng, tmp_path):
+        rec, _, _ = build_reconstruction(rng)
+        rec2 = CIO.Reconstruction.read_binary(
+            rec.write_binary(str(tmp_path / "b"))
+        )
+        rec3 = CIO.Reconstruction.read_text(rec.write_text(str(tmp_path / "t")))
+        p2, e2, k2 = CIO.reconstruction_to_batch_matrix(rec2)
+        p3, e3, k3 = CIO.reconstruction_to_batch_matrix(rec3)
+        np.testing.assert_allclose(p2, p3, atol=1e-6)
+        np.testing.assert_allclose(e2, e3, atol=1e-6)
+        np.testing.assert_allclose(k2, k3, atol=1e-4)
+
+    def test_binary_empty_observations(self, tmp_path):
+        """Images with zero 2D points and pid=-1 sentinels survive IO."""
+        rec = CIO.Reconstruction()
+        rec.cameras[1] = CIO.Camera(1, "SIMPLE_PINHOLE", 64, 48,
+                                    np.asarray([50.0, 32.0, 24.0]))
+        im = CIO.ImageRecord(1, "a.jpg", 1, np.asarray([1.0, 0, 0, 0]),
+                             np.zeros(3))
+        rec.images[1] = im
+        im2 = CIO.ImageRecord(2, "b.jpg", 1, np.asarray([1.0, 0, 0, 0]),
+                              np.ones(3))
+        im2.xys = np.asarray([[1.5, 2.5]])
+        im2.point3d_ids = np.asarray([-1], np.int64)
+        rec.images[2] = im2
+        rec2 = CIO.Reconstruction.read_binary(
+            rec.write_binary(str(tmp_path / "e"))
+        )
+        assert len(rec2.images[1].xys) == 0
+        assert rec2.images[2].point3d_ids[0] == -1
+
     def test_matrix_roundtrip_matches_input(self, rng):
         rec, _, (exts, Ks, pts) = build_reconstruction(rng)
         p, e, k = CIO.reconstruction_to_batch_matrix(rec)
