@@ -50,14 +50,18 @@ def _masked_mean(x: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.sum(x * w) / (jnp.sum(w) + 1e-10)
 
 
-def scene_loss(
+def scene_residuals(
     extrinsic: jax.Array,  # (S, 3, 4) predicted, in processed (518) space
     intrinsic: jax.Array,  # (S, 3, 3) predicted, processed space
     scene: Dict[str, jax.Array],  # un-batched scene dict
     cfg: LossConfig,
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Loss for one scene. Returns (scalar loss, metrics dict)."""
-    S = extrinsic.shape[0]
+) -> Dict[str, jax.Array]:
+    """Reprojection residuals for one scene (steps 1-4 of the module doc).
+
+    Returns ``residuals`` / ``residuals_approx`` (raw px), their ``log1p``
+    forms, ``weights`` and the pair frame indices — everything the CDF loss
+    and the per-frame statistics dumps consume.
+    """
     recovered_K = scene["K_prime_to_K"] @ intrinsic  # (S, 3, 3)
     if cfg.shared_focal:
         recovered_K = jnp.broadcast_to(
@@ -87,8 +91,54 @@ def scene_loss(
     )
     residuals_a = G.compute_projective_residual(pred_dst_a, scene["dst_coords"])
 
-    res_log = jnp.log1p(residuals)
-    res_a_log = jnp.log1p(residuals_a)
+    return {
+        "residuals": residuals,
+        "residuals_approx": residuals_a,
+        "res_log": jnp.log1p(residuals),
+        "res_a_log": jnp.log1p(residuals_a),
+        "weights": weights,
+        "src_idx": src_idx,
+        "dst_idx": dst_idx,
+    }
+
+
+def scene_cdf_statistics(
+    extrinsic: jax.Array,
+    intrinsic: jax.Array,
+    scene: Dict[str, jax.Array],
+    cfg: LossConfig,
+) -> Dict[str, Dict[str, jax.Array]]:
+    """Per-frame (pmf, cdf, pdf) for the exact and approximated residual
+    distributions — the quantities the reference plots every checkpoint
+    interval (``train_imc.py:418-425`` via ``get_frame_statistics``)."""
+    from ..ops.cdf_loss import frame_statistics
+
+    S = extrinsic.shape[0]
+    r = scene_residuals(extrinsic, intrinsic, scene, cfg)
+    ccfg = cfg.cdf_cfg(S)
+    return {
+        "exact": frame_statistics(
+            r["res_log"], r["weights"], r["src_idx"], r["dst_idx"], ccfg
+        ),
+        "approx": frame_statistics(
+            r["res_a_log"], r["weights"], r["src_idx"], r["dst_idx"], ccfg
+        ),
+    }
+
+
+def scene_loss(
+    extrinsic: jax.Array,  # (S, 3, 4) predicted, in processed (518) space
+    intrinsic: jax.Array,  # (S, 3, 3) predicted, processed space
+    scene: Dict[str, jax.Array],  # un-batched scene dict
+    cfg: LossConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Loss for one scene. Returns (scalar loss, metrics dict)."""
+    S = extrinsic.shape[0]
+    r = scene_residuals(extrinsic, intrinsic, scene, cfg)
+    residuals = r["residuals"]
+    weights = r["weights"]
+    src_idx, dst_idx = r["src_idx"], r["dst_idx"]
+    res_log, res_a_log = r["res_log"], r["res_a_log"]
 
     ccfg = cfg.cdf_cfg(S)
     cs, cd = cdf_loss(res_log, weights, src_idx, dst_idx, ccfg)

@@ -107,9 +107,13 @@ def scene_stream(
 
 
 def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fwd, key):
-    """Every-N-step artifact dumps (PLY + KITTI + sanity overlay)."""
+    """Every-N-step artifact dumps (PLY + KITTI + CDF/PDF curves + sanity
+    overlay), matching the reference's checkpoint-interval dumps
+    (``train_imc.py:399-426``)."""
     from ..utils import export as EX
     from ..utils.sanity_check import sanity_check_relative_poses
+    from ..utils.vls import plot_cdf_pdf_curves
+    from .loss import scene_cdf_statistics
 
     out_dir = os.path.join(results_dir, "vls", f"step_{step}")
     os.makedirs(out_dir, exist_ok=True)
@@ -128,6 +132,20 @@ def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fwd, 
     EX.save_kitti_poses(preds["extrinsic"][0], os.path.join(out_dir, "poses_kitti.txt"))
     scene0 = {k: np.asarray(v[0]) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
+    # per-frame residual-distribution curves of the current predictions
+    # (the reference plots the loss's frame statistics, train_imc.py:418-425)
+    lcfg = tcfg.loss
+    stats = jax.device_get(
+        jax.jit(scene_cdf_statistics, static_argnums=3)(
+            preds["extrinsic"][0], preds["intrinsic"][0], scene0, lcfg
+        )
+    )
+    for name in ("exact", "approx"):
+        plot_cdf_pdf_curves(
+            stats[name]["frame_cdf"], stats[name]["frame_pdf"],
+            lcfg.min_val, lcfg.max_val, lcfg.num_bins,
+            os.path.join(out_dir, f"cdf_pdf_{name}.png"),
+        )
     m = sanity_check_relative_poses(
         np.asarray(preds["extrinsic"][0]), np.asarray(preds["intrinsic"][0]), scene0
     )
@@ -347,6 +365,10 @@ def main():
     ap.add_argument("--profile-start", type=int, default=0)
     ap.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace over N steps")
+    ap.add_argument("--checkpoint-every", type=int, default=10_000)
+    ap.add_argument("--artifact-every", type=int, default=10_000,
+                    help="PLY/KITTI/CDF-PDF-curve dump interval (0 disables)")
+    ap.add_argument("--sanity-check-every", type=int, default=500)
     ap.add_argument("--embed-dim", type=int, default=1024)
     ap.add_argument("--depth", type=int, default=24)
     ap.add_argument("--num-heads", type=int, default=16)
@@ -375,6 +397,9 @@ def main():
         seed=args.seed,
         profile_start=args.profile_start,
         profile_steps=args.profile_steps,
+        checkpoint_every=args.checkpoint_every,
+        artifact_every=args.artifact_every,
+        sanity_check_every=args.sanity_check_every,
         embed_dim=args.embed_dim,
         depth=args.depth,
         num_heads=args.num_heads,
