@@ -132,26 +132,71 @@ def main():
     dt = float(np.median(times))
 
     frames_per_sec = NUM_FRAMES / dt
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec/chip (full-head 518px inference, 5-frame scene)",
-                "value": round(frames_per_sec, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(frames_per_sec / DENSE_XLA_BASELINE_FPS, 2),
-                "baseline_definition": (
-                    "speedup over the same model as a dense-attention XLA "
-                    "program, no Pallas kernels (the faithful naive port; "
-                    "reference publishes no numbers)"
-                ),
-                "step_seconds": round(dt, 4),
-                "compile_seconds": round(compile_s, 1),
-                "trunk_tflops": round(flops / dt / 1e12, 1),
-                "trunk_mfu": round(flops / dt / PEAK_BF16_FLOPS, 4),
-                "device": str(dev),
-            }
-        )
-    )
+    out = {
+        "metric": "frames/sec/chip (full-head 518px inference, 5-frame scene)",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / DENSE_XLA_BASELINE_FPS, 2),
+        "baseline_definition": (
+            "speedup over the same model as a dense-attention XLA "
+            "program, no Pallas kernels (the faithful naive port; "
+            "reference publishes no numbers)"
+        ),
+        "step_seconds": round(dt, 4),
+        "compile_seconds": round(compile_s, 1),
+        "trunk_tflops": round(flops / dt / 1e12, 1),
+        "trunk_mfu": round(flops / dt / PEAK_BF16_FLOPS, 4),
+        "device": str(dev),
+    }
+
+    if os.environ.get("BENCH_RELOC", "1") != "0":
+        # secondary: the reference's OTHER headline mode — two-phase
+        # inference (demo_imc.py): build the rank-300 scene KV cache once,
+        # then localise query batches against it. The reference loops queries
+        # one-by-one with CPU-offloaded caches (demo_imc.py:97-107); here one
+        # batched full-head reloc call per step.
+        uimgs = jnp.asarray(uniq)
+
+        def build(params, imgs, key):
+            cache, cam_tok = M.build_scene_cache(
+                params, cfg, imgs, rank=RANK, subsample_key=key
+            )
+            return cache, cam_tok, jnp.sum(cam_tok.astype(jnp.float32))
+
+        def reloc_loop(params, cache, cam_tok, imgs):
+            def body(i, acc):
+                # tiny per-step input perturbation so XLA cannot hoist the
+                # loop-invariant reloc computation out of the fori_loop
+                preds = M.reloc(
+                    params, cfg, cache, cam_tok,
+                    imgs + (jnp.float32(i) * 1e-9),
+                )
+                return (
+                    acc
+                    + jnp.sum(preds["extrinsic"].astype(jnp.float32))
+                    + jnp.sum(preds["depth_map"])
+                )
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        jb = jax.jit(build)
+        jr = jax.jit(reloc_loop)
+        t0 = time.perf_counter()
+        cache, cam_tok, chk = jb(params, uimgs, key)
+        float(chk)
+        build_s = time.perf_counter() - t0  # first call: compile + run
+        float(jr(params, cache, cam_tok, uimgs))  # warmup (compile)
+        rtimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jr(params, cache, cam_tok, uimgs))
+            rtimes.append((time.perf_counter() - t0) / ITERS)
+        rdt = float(np.median(rtimes))
+        out["reloc_frames_per_sec"] = round(NUM_FRAMES / rdt, 3)
+        out["reloc_step_seconds"] = round(rdt, 4)
+        out["cache_build_first_call_seconds"] = round(build_s, 1)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

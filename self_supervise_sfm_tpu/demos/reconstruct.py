@@ -5,9 +5,16 @@ Equivalent of ``train/demo_imc_forward.py`` (single-pass) and
 the artifact outputs the reference intended (PLY point cloud + KITTI poses)
 plus ATE against ground-truth poses when the scene carries them.
 
+``--tracks-ba`` additionally runs the reference's dormant downstream path
+(SURVEY §3.4: ``predict_tracks`` -> pycolmap BA): keypoint tracks across the
+scene, DLT triangulation seeded by the predicted poses/intrinsics, bundle
+adjustment, and a COLMAP sparse model export (text + binary) consumable by
+the COLMAP ecosystem.
+
 Usage:
   python -m self_supervise_sfm_tpu.demos.reconstruct --data-root <imc_root> \\
-      [--mode forward|reloc] [--num-images 5] [--pretrained sailrecon.pt]
+      [--mode forward|reloc] [--num-images 5] [--pretrained sailrecon.pt] \\
+      [--tracks-ba] [--tracker-weights vggsfm.pt]
 """
 
 from __future__ import annotations
@@ -16,6 +23,13 @@ import argparse
 import json
 import os
 import time
+
+# honour host-platform (CPU) runs under the axon TPU plugin, which ignores a
+# bare JAX_PLATFORMS=cpu env var (same guard as train/trainer.py)
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +78,54 @@ def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key):
     return jax.device_get(preds)
 
 
+def track_and_bundle_adjust(scene, preds, args, out_dir: str):
+    """The dormant downstream path (SURVEY §3.4): track keypoints across the
+    scene, triangulate with the predicted poses/intrinsics as the initial
+    geometry, bundle-adjust, export a COLMAP sparse model (text + binary)."""
+    from ..pipeline import tracking as T
+    from ..pipeline.vggsfm_tracker import VGGSfMTrackerConfig, init_vggsfm_tracker
+
+    tcfg = VGGSfMTrackerConfig()
+    if args.tracker_weights:
+        from ..utils import converter as C
+
+        tp = C.convert_vggsfm_tracker(
+            C.load_torch_state_dict(args.tracker_weights)
+        )
+    else:
+        print("WARNING: no --tracker-weights; using random tracker weights")
+        tp = init_vggsfm_tracker(jax.random.PRNGKey(2), tcfg)
+
+    out = T.predict_tracks(
+        tp, scene["images"], query_frame_num=min(3, scene["images"].shape[0]),
+        max_query_pts=args.max_query_pts, tracker_cfg=tcfg,
+        fine_tracking=args.fine_tracking,
+    )
+    if out is None:
+        print("  tracks-ba: no keypoints found, skipping")
+        return None
+    tracks, vis, _ = out
+    H, W = scene["images"].shape[1:3]
+    rec = T.tracks_to_reconstruction(
+        tracks, vis, np.asarray(preds["extrinsic"][0], np.float32),
+        np.asarray(preds["intrinsic"][0], np.float32), image_size=(W, H),
+        run_ba=True, use_native_ba=args.ba_engine == "native",
+    )
+    if rec is None:
+        print("  tracks-ba: no valid tracks survived gating, skipping")
+        return None
+    from ..utils.colmap_io import reconstruction_to_batch_matrix
+
+    rec.write_text(os.path.join(out_dir, "sparse_txt"))
+    rec.write_binary(os.path.join(out_dir, "sparse"))
+    _, ba_ext, _ = reconstruction_to_batch_matrix(rec)
+    EX.save_kitti_poses(ba_ext, os.path.join(out_dir, "poses_kitti_ba.txt"))
+    return {
+        "ba_points": len(rec.points3d),
+        "ba_tracks": int(sum(len(p.track) for p in rec.points3d.values())),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", required=True)
@@ -75,6 +137,16 @@ def main():
     ap.add_argument("--num-scenes", type=int, default=3)
     ap.add_argument("--pretrained", default="")
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--tracks-ba", action="store_true",
+                    help="also run track prediction + bundle adjustment and "
+                         "export a COLMAP sparse model")
+    ap.add_argument("--tracker-weights", default="",
+                    help="torch VGGSfM tracker checkpoint for --tracks-ba")
+    ap.add_argument("--ba-engine", choices=["jax", "native"], default="jax")
+    ap.add_argument("--max-query-pts", type=int, default=2048)
+    ap.add_argument("--fine-tracking", action="store_true", default=True)
+    ap.add_argument("--no-fine-tracking", dest="fine_tracking",
+                    action="store_false")
     args = ap.parse_args()
 
     cfg = M.make_config(img_size=args.img_size, compute_dtype=args.compute_dtype)
@@ -118,6 +190,10 @@ def main():
                     preds["extrinsic"][0], scene["poses_w2c_gt"][:, :3]
                 )
             )
+        if args.tracks_ba:
+            ba = track_and_bundle_adjust(scene, preds, args, out_dir)
+            if ba:
+                entry.update(ba)
         results[name] = entry
         print(name, entry, flush=True)
     with open(os.path.join(args.out_dir, "results.json"), "w") as f:
