@@ -106,10 +106,10 @@ def scene_stream(
         stop.set()
 
 
-def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fwd, key):
+def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fn, key):
     """Every-N-step artifact dumps (PLY + KITTI + CDF/PDF curves + sanity
     overlay), matching the reference's checkpoint-interval dumps
-    (``train_imc.py:399-426``)."""
+    (``train_imc.py:399-426``). ``eval_fn`` returns host predictions."""
     from ..utils import export as EX
     from ..utils.sanity_check import sanity_check_relative_poses
     from ..utils.vls import plot_cdf_pdf_curves
@@ -117,7 +117,7 @@ def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fwd, 
 
     out_dir = os.path.join(results_dir, "vls", f"step_{step}")
     os.makedirs(out_dir, exist_ok=True)
-    preds = jax.device_get(eval_fwd(params, batch["images"][:1], key))
+    preds = eval_fn(params, batch["images"][:1], key)
     per_view = []
     S = batch["images"].shape[1]
     for i in range(S):
@@ -256,8 +256,14 @@ def run(cfg: TrainerConfig):
         ds, num_data * cfg.scenes_per_step_per_device, cfg.seed, cfg.prefetch
     )
 
-    writer = MetricsWriter(os.path.join(cfg.results_dir, "tensorboard"),
-                           console_every=cfg.log_every)
+    # metrics / artifact dumps are primary-process-only, matching the
+    # reference's rank-0 SummaryWriter + dumps (train_imc.py:396-426);
+    # checkpointing runs on every process (orbax coordinates multihost saves)
+    is_primary = jax.process_index() == 0
+    writer = MetricsWriter(
+        os.path.join(cfg.results_dir, "tensorboard") if is_primary else None,
+        console_every=cfg.log_every if is_primary else 0,
+    )
     from .loop import make_eval_forward
 
     # preemption handling (SURVEY §5): TPU pods don't resize elastically —
@@ -278,6 +284,22 @@ def run(cfg: TrainerConfig):
     with Sh.activate_mesh(mesh):
         step_fn = make_train_step(model_cfg, tcfg)
         eval_fwd = make_eval_forward(model_cfg, tcfg)
+
+        def eval_local(params, images_np, key):
+            """Primary-only diagnostics forward, host results.
+
+            Multi-process: pull the (replicated) params to host and trace
+            without the global mesh so the computation stays process-local —
+            a jit over global-mesh arrays would require every process to
+            participate while only the primary runs diagnostics.
+            """
+            if jax.process_count() == 1:
+                return jax.device_get(eval_fwd(params, images_np, key))
+            with Sh.activate_mesh(None):
+                return jax.device_get(
+                    eval_fwd(jax.device_get(params), np.asarray(images_np), key)
+                )
+
         step = int(state["step"])
         profiling = False
         last_step_time = None
@@ -310,10 +332,14 @@ def run(cfg: TrainerConfig):
                 scalars["steps_per_sec"] = 1.0 / (now - last_step_time)
             last_step_time = now
             writer.write(step, scalars)
-            if cfg.sanity_check_every and step % cfg.sanity_check_every == 0:
-                preds = jax.device_get(
-                    eval_fwd(state["params"], batch["images"][:1],
-                             jax.random.fold_in(state["key"], step))
+            if (
+                is_primary
+                and cfg.sanity_check_every
+                and step % cfg.sanity_check_every == 0
+            ):
+                preds = eval_local(
+                    state["params"], host_batch["images"][:1],
+                    jax.random.fold_in(state["key"], step),
                 )
                 from ..utils.sanity_check import sanity_check_relative_poses
 
@@ -325,9 +351,9 @@ def run(cfg: TrainerConfig):
                 )
                 writer.write(step, m := {k: v for k, v in m.items() if k != "pair"},
                              prefix="sanity")
-            if cfg.artifact_every and step % cfg.artifact_every == 0:
+            if is_primary and cfg.artifact_every and step % cfg.artifact_every == 0:
                 dump_artifacts(step, state["params"], model_cfg, tcfg, host_batch,
-                               cfg.results_dir, eval_fwd,
+                               cfg.results_dir, eval_local,
                                jax.random.fold_in(state["key"], step))
             if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
                 ckpt.save(step, jax.device_get(state))

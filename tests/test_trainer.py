@@ -183,3 +183,47 @@ def test_trainer_preemption_checkpoint_and_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(MetricsWriter, "write", orig_write)
     state2 = T.run(cfg)
     assert int(state2["step"]) == 5
+
+
+def test_trainer_multiprocess_matches_single(tmp_path):
+    """True multi-host training: 2 OS processes (1 CPU device each) under
+    jax.distributed vs 1 process with 2 devices. Same seed -> identical
+    global batches -> the data-parallel gradient psum must produce identical
+    final parameters (the DDP-equivalence guarantee, train_imc.py:472)."""
+    import socket
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=2, num_images=3, image_size=(40, 32))
+
+    def run_workers(nprocs, ndev, tag):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        out = str(tmp_path / f"{tag}.npz")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "tests._trainer_mh_worker",
+                 str(port), str(nprocs), str(i), str(ndev), root,
+                 str(tmp_path / f"res_{tag}"), out],
+                env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(nprocs)
+        ]
+        logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        assert all(p.returncode == 0 for p in procs), logs
+        return np.load(out)
+
+    multi = run_workers(nprocs=2, ndev=1, tag="mp")
+    single = run_workers(nprocs=1, ndev=2, tag="sp")
+    assert int(multi["step"]) == 2 and int(single["step"]) == 2
+    np.testing.assert_allclose(
+        multi["checksums"], single["checksums"], rtol=1e-5, atol=1e-6
+    )
