@@ -43,34 +43,61 @@ def main():
     uniq = rng.uniform(size=(1, NUM_FRAMES, IMG, IMG, 3)).astype(np.float32)
     images = jnp.asarray(np.concatenate([uniq, uniq], axis=1))
     key = jax.random.PRNGKey(1)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "forward"
 
-    def step(params, images, key):
-        preds = M.forward(
-            params, cfg, images,
-            num_anchor=NUM_FRAMES, num_query=NUM_FRAMES,
-            rank=RANK, subsample_key=key, images_duplicated=True,
-        )
-        return (
-            jnp.sum(preds["extrinsic"].astype(jnp.float32))
-            + jnp.sum(preds["depth_map"])
-            + jnp.sum(preds["point_map"])
-            + jnp.sum(preds["point_map_by_unprojection"])
-        )
+    if mode == "reloc":
+        # two-phase steady state: batched full-head reloc against a
+        # prebuilt rank-300 scene cache (bench.py's secondary metric)
+        uimgs = jnp.asarray(uniq)
+        cache, cam_tok = jax.jit(
+            lambda p, x, k: M.build_scene_cache(p, cfg, x, rank=RANK,
+                                                subsample_key=k)
+        )(params, uimgs, key)
 
-    def fn(params, images, key):
-        def body(i, acc):
-            return acc + step(params, images, jax.random.fold_in(key, i))
+        def fn(params, cache, cam_tok, imgs):
+            def body(i, acc):
+                preds = M.reloc(params, cfg, cache, cam_tok,
+                                imgs + (jnp.float32(i) * 1e-9))
+                return (
+                    acc
+                    + jnp.sum(preds["extrinsic"].astype(jnp.float32))
+                    + jnp.sum(preds["depth_map"])
+                )
 
-        return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0.0))
 
-    jfn = jax.jit(fn)
+        jfn = jax.jit(fn)
+        args = (params, cache, cam_tok, uimgs)
+    else:
+        def step(params, images, key):
+            preds = M.forward(
+                params, cfg, images,
+                num_anchor=NUM_FRAMES, num_query=NUM_FRAMES,
+                rank=RANK, subsample_key=key, images_duplicated=True,
+            )
+            return (
+                jnp.sum(preds["extrinsic"].astype(jnp.float32))
+                + jnp.sum(preds["depth_map"])
+                + jnp.sum(preds["point_map"])
+                + jnp.sum(preds["point_map_by_unprojection"])
+            )
+
+        def fn(params, images, key):
+            def body(i, acc):
+                return acc + step(params, images, jax.random.fold_in(key, i))
+
+            return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0.0))
+
+        jfn = jax.jit(fn)
+        args = (params, images, key)
+
     print("compiling/warmup...", flush=True)
-    float(jfn(params, images, key))
+    float(jfn(*args))
     print("tracing...", flush=True)
     jax.profiler.start_trace(trace_dir)
-    float(jfn(params, images, key))
+    float(jfn(*args))
     jax.profiler.stop_trace()
-    print(f"trace written to {trace_dir} ({STEPS} steps)")
+    print(f"trace written to {trace_dir} ({STEPS} steps, mode={mode})")
 
 
 if __name__ == "__main__":
