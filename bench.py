@@ -67,6 +67,34 @@ def trunk_flops_analytic(S: int, P: int, C: int, L: int, rank: int) -> float:
     return vit + agg + attn + patch_embed
 
 
+def make_reloc_fns(M, cfg, rank: int, iters: int):
+    """(build, reloc_loop) for the two-phase measurement — shared with
+    tools/profile_infer.py so the profiled program IS the benched program."""
+
+    def build(params, imgs, key):
+        cache, cam_tok = M.build_scene_cache(
+            params, cfg, imgs, rank=rank, subsample_key=key
+        )
+        return cache, cam_tok, jnp.sum(cam_tok.astype(jnp.float32))
+
+    def reloc_loop(params, cache, cam_tok, imgs):
+        def body(i, acc):
+            # tiny per-step input perturbation so XLA cannot hoist the
+            # loop-invariant reloc computation out of the fori_loop
+            preds = M.reloc(
+                params, cfg, cache, cam_tok, imgs + (jnp.float32(i) * 1e-9)
+            )
+            return (
+                acc
+                + jnp.sum(preds["extrinsic"].astype(jnp.float32))
+                + jnp.sum(preds["depth_map"])
+            )
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    return build, reloc_loop
+
+
 def main():
     from self_supervise_sfm_tpu.models import sailrecon as M
 
@@ -156,29 +184,7 @@ def main():
         # one-by-one with CPU-offloaded caches (demo_imc.py:97-107); here one
         # batched full-head reloc call per step.
         uimgs = jnp.asarray(uniq)
-
-        def build(params, imgs, key):
-            cache, cam_tok = M.build_scene_cache(
-                params, cfg, imgs, rank=RANK, subsample_key=key
-            )
-            return cache, cam_tok, jnp.sum(cam_tok.astype(jnp.float32))
-
-        def reloc_loop(params, cache, cam_tok, imgs):
-            def body(i, acc):
-                # tiny per-step input perturbation so XLA cannot hoist the
-                # loop-invariant reloc computation out of the fori_loop
-                preds = M.reloc(
-                    params, cfg, cache, cam_tok,
-                    imgs + (jnp.float32(i) * 1e-9),
-                )
-                return (
-                    acc
-                    + jnp.sum(preds["extrinsic"].astype(jnp.float32))
-                    + jnp.sum(preds["depth_map"])
-                )
-
-            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
+        build, reloc_loop = make_reloc_fns(M, cfg, RANK, ITERS)
         jb = jax.jit(build)
         jr = jax.jit(reloc_loop)
         t0 = time.perf_counter()

@@ -94,7 +94,11 @@ def track_and_bundle_adjust(scene, preds, args, out_dir: str):
         )
     else:
         print("WARNING: no --tracker-weights; using random tracker weights")
-        tp = init_vggsfm_tracker(jax.random.PRNGKey(2), tcfg)
+        # jitted init: one dispatch instead of one per leaf (CLAUDE.md —
+        # un-jitted init takes minutes through the remote-TPU tunnel)
+        tp = jax.jit(lambda k: init_vggsfm_tracker(k, tcfg))(
+            jax.random.PRNGKey(2)
+        )
 
     out = T.predict_tracks(
         tp, scene["images"], query_frame_num=min(3, scene["images"].shape[0]),

@@ -208,7 +208,12 @@ def _block_tp(
         spec_x = P(None, None, None)
     has_rope = rope_cos_sin is not None
     in_specs = (P(), spec_x) + ((P(None, None), P(None, None)) if has_rope else ())
-    lcfg = dataclasses.replace(cfg, num_heads=cfg.num_heads // m)
+    # scale dim together with num_heads so lcfg's derived quantities
+    # (head_dim, kernel/flash gates, VMEM estimates) see the TRUE per-head
+    # dim of the local shard — the array shapes come from the sliced weights
+    lcfg = dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // m, dim=cfg.dim // m
+    )
 
     from ..layers.attention import _merge_heads, attention_heads_out
 
@@ -277,7 +282,12 @@ def _block_ctx_tp(
         in_specs = in_specs + (P(None, None), P(None, None))
     if has_rc:
         in_specs = in_specs + (spec_ctx, spec_ctx)
-    lcfg = dataclasses.replace(cfg, num_heads=cfg.num_heads // m)
+    # scale dim together with num_heads so lcfg's derived quantities
+    # (head_dim, kernel/flash gates, VMEM estimates) see the TRUE per-head
+    # dim of the local shard — the array shapes come from the sliced weights
+    lcfg = dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // m, dim=cfg.dim // m
+    )
 
     from ..layers import params as Pm
     from ..layers.attention import _merge_heads, attention_heads_out, kv_heads
@@ -432,7 +442,9 @@ def global_block_ring(
     in_specs = (P(), spec_x) + ((spec_rope, spec_rope) if has_rope else ())
     use_flash = jax.default_backend() == "tpu"
     perm = [(i, (i + 1) % nctx) for i in range(nctx)]
-    lcfg = dataclasses.replace(cfg, num_heads=cfg.num_heads // nm)
+    lcfg = dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // nm, dim=cfg.dim // nm
+    )
 
     from ..layers.attention import _merge_heads
     from ..ops.ring_attention import _chunk_attn, _merge

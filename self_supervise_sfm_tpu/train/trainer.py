@@ -17,6 +17,7 @@ Run:  python -m self_supervise_sfm_tpu.train.trainer --data-root ... [--steps N]
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import queue
 import signal
@@ -106,6 +107,15 @@ def scene_stream(
         stop.set()
 
 
+@functools.lru_cache(maxsize=1)
+def _cdf_stats_jit():
+    """One shared jit of the residual-statistics computation — building a
+    fresh wrapper per artifact dump would retrace/recompile every interval."""
+    from .loss import scene_cdf_statistics
+
+    return jax.jit(scene_cdf_statistics, static_argnums=3)
+
+
 def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fn, key):
     """Every-N-step artifact dumps (PLY + KITTI + CDF/PDF curves + sanity
     overlay), matching the reference's checkpoint-interval dumps
@@ -113,7 +123,6 @@ def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fn, k
     from ..utils import export as EX
     from ..utils.sanity_check import sanity_check_relative_poses
     from ..utils.vls import plot_cdf_pdf_curves
-    from .loss import scene_cdf_statistics
 
     out_dir = os.path.join(results_dir, "vls", f"step_{step}")
     os.makedirs(out_dir, exist_ok=True)
@@ -136,7 +145,7 @@ def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fn, k
     # (the reference plots the loss's frame statistics, train_imc.py:418-425)
     lcfg = tcfg.loss
     stats = jax.device_get(
-        jax.jit(scene_cdf_statistics, static_argnums=3)(
+        _cdf_stats_jit()(
             preds["extrinsic"][0], preds["intrinsic"][0], scene0, lcfg
         )
     )
@@ -285,19 +294,33 @@ def run(cfg: TrainerConfig):
         step_fn = make_train_step(model_cfg, tcfg)
         eval_fwd = make_eval_forward(model_cfg, tcfg)
 
-        def eval_local(params, images_np, key):
-            """Primary-only diagnostics forward, host results.
+        def diag_params(params):
+            """Host copy of the params for primary-only diagnostics.
 
-            Multi-process: pull the (replicated) params to host and trace
-            without the global mesh so the computation stays process-local —
-            a jit over global-mesh arrays would require every process to
-            participate while only the primary runs diagnostics.
+            Multi-process: FSDP/TP-sharded leaves span non-addressable
+            devices, so fetching them directly would raise on the primary —
+            instead EVERY process enters a collective reshard to fully
+            replicated (each process then holds the whole value). Must be
+            called from all processes at the same step.
             """
             if jax.process_count() == 1:
-                return jax.device_get(eval_fwd(params, images_np, key))
+                return params
+            rep = jax.tree.map(lambda _: Sh.replicated(mesh), params)
+            return jax.device_get(jax.jit(lambda p: p, out_shardings=rep)(params))
+
+        def eval_local(params_host, images_np, key):
+            """Primary-only diagnostics forward on host data, host results.
+
+            Multi-process: trace without the global mesh so the computation
+            stays process-local — a jit over global-mesh arrays would
+            require every process to participate while only the primary
+            runs diagnostics.
+            """
+            if jax.process_count() == 1:
+                return jax.device_get(eval_fwd(params_host, images_np, key))
             with Sh.activate_mesh(None):
                 return jax.device_get(
-                    eval_fwd(jax.device_get(params), np.asarray(images_np), key)
+                    eval_fwd(params_host, np.asarray(images_np), key)
                 )
 
         step = int(state["step"])
@@ -332,13 +355,18 @@ def run(cfg: TrainerConfig):
                 scalars["steps_per_sec"] = 1.0 / (now - last_step_time)
             last_step_time = now
             writer.write(step, scalars)
-            if (
-                is_primary
-                and cfg.sanity_check_every
-                and step % cfg.sanity_check_every == 0
-            ):
+            do_sanity = bool(
+                cfg.sanity_check_every and step % cfg.sanity_check_every == 0
+            )
+            do_artifacts = bool(
+                cfg.artifact_every and step % cfg.artifact_every == 0
+            )
+            if do_sanity or do_artifacts:
+                # collective (all processes), then primary-only consumption
+                dparams = diag_params(state["params"])
+            if is_primary and do_sanity:
                 preds = eval_local(
-                    state["params"], host_batch["images"][:1],
+                    dparams, host_batch["images"][:1],
                     jax.random.fold_in(state["key"], step),
                 )
                 from ..utils.sanity_check import sanity_check_relative_poses
@@ -351,8 +379,8 @@ def run(cfg: TrainerConfig):
                 )
                 writer.write(step, m := {k: v for k, v in m.items() if k != "pair"},
                              prefix="sanity")
-            if is_primary and cfg.artifact_every and step % cfg.artifact_every == 0:
-                dump_artifacts(step, state["params"], model_cfg, tcfg, host_batch,
+            if is_primary and do_artifacts:
+                dump_artifacts(step, dparams, model_cfg, tcfg, host_batch,
                                cfg.results_dir, eval_local,
                                jax.random.fold_in(state["key"], step))
             if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:

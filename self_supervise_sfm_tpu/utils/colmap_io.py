@@ -233,6 +233,10 @@ class Reconstruction:
                 (cam_id,) = struct.unpack("<i", f.read(4))
                 name = b""
                 while (c := f.read(1)) != b"\x00":
+                    if not c:
+                        raise ValueError(
+                            "truncated images.bin: EOF inside image name"
+                        )
                     name += c
                 (num_pts,) = struct.unpack("<Q", f.read(8))
                 obs = np.frombuffer(f.read(24 * num_pts), "<f8").reshape(-1, 3)
