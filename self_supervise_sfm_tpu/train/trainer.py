@@ -308,6 +308,21 @@ def run(cfg: TrainerConfig):
             rep = jax.tree.map(lambda _: Sh.replicated(mesh), params)
             return jax.device_get(jax.jit(lambda p: p, out_shardings=rep)(params))
 
+        def save_state(step):
+            """Checkpoint the live train state.
+
+            Single-process: host copy (detached from device buffers).
+            Multi-process: hand orbax the sharded jax.Arrays directly — it
+            writes each process's shards into the shared directory; a
+            device_get would raise on FSDP/TP leaves spanning
+            non-addressable devices (and replicating them first would not
+            fit HBM for exactly the models FSDP exists for).
+            """
+            if jax.process_count() == 1:
+                ckpt.save(step, jax.device_get(state))
+            else:
+                ckpt.save(step, state)
+
         def eval_local(params_host, images_np, key):
             """Primary-only diagnostics forward on host data, host results.
 
@@ -384,8 +399,8 @@ def run(cfg: TrainerConfig):
                                cfg.results_dir, eval_local,
                                jax.random.fold_in(state["key"], step))
             if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
-                ckpt.save(step, jax.device_get(state))
-    ckpt.save(step, jax.device_get(state))
+                save_state(step)
+    save_state(step)
     ckpt.wait()
     ckpt.close()
     writer.close()

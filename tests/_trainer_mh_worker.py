@@ -15,6 +15,7 @@ import sys
 
 def main():
     port, nprocs, pid, ndev, data_root, results_dir, out_npz = sys.argv[1:8]
+    fsdp = len(sys.argv) > 8 and sys.argv[8] == "1"
     nprocs, pid, ndev = int(nprocs), int(pid), int(ndev)
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={ndev}"
@@ -36,8 +37,11 @@ def main():
     orig_make = M.make_config
 
     def tiny_make_config(**kw):
+        # embed 128 so the MLP fc1/fc2 leaves (128*512 = 65536 elems) clear
+        # param_sharding's MIN_SHARD_ELEMS and actually shard across the two
+        # processes under FSDP
         kw.update(
-            dict(img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+            dict(img_size=28, embed_dim=128, depth=4, num_heads=4, vit_depth=2,
                  intermediate_layer_idx=(0, 1, 2, 3))
         )
         return orig_make(**kw)
@@ -53,18 +57,32 @@ def main():
         img_size=28,
         checkpoint_every=0,
         artifact_every=0,
-        sanity_check_every=0,
+        # sanity_check_every=2 exercises the collective diag_params reshard
+        # (FSDP/TP-sharded params -> replicated host copy) + rank-0 eval
+        sanity_check_every=2,
         log_every=1,
         compute_dtype="float32",
         remat=False,
         rank=2,
         native_loader=False,
         train=TrainConfig(max_lr=1e-4, warmup_steps=1, total_steps=2, rank=2,
-                          num_images=2, loss=LossConfig(num_bins=50)),
+                          num_images=2, loss=LossConfig(num_bins=50),
+                          fsdp=fsdp),
     )
     state = T.run(cfg)
+    params = state["params"]
+    if nprocs > 1:
+        # FSDP leaves span processes: collectively reshard to replicated
+        # before fetching (all processes must enter)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(jax.devices()), ("all",))
+        rep = jax.tree.map(
+            lambda _: NamedSharding(mesh, PartitionSpec()), params
+        )
+        params = jax.device_get(jax.jit(lambda p: p, out_shardings=rep)(params))
     if pid == 0:
-        leaves = jax.tree_util.tree_leaves(jax.device_get(state["params"]))
+        leaves = jax.tree_util.tree_leaves(jax.device_get(params))
         checks = np.asarray([float(np.sum(np.asarray(l))) for l in leaves])
         np.savez(out_npz, checksums=checks, step=int(state["step"]))
     if nprocs > 1:

@@ -187,9 +187,12 @@ def test_trainer_preemption_checkpoint_and_resume(tmp_path, monkeypatch):
 
 def test_trainer_multiprocess_matches_single(tmp_path):
     """True multi-host training: 2 OS processes (1 CPU device each) under
-    jax.distributed vs 1 process with 2 devices. Same seed -> identical
+    jax.distributed vs 1 process with 2 devices, with FSDP state sharding
+    and the collective rank-0 sanity diagnostics on. Same seed -> identical
     global batches -> the data-parallel gradient psum must produce identical
-    final parameters (the DDP-equivalence guarantee, train_imc.py:472)."""
+    final parameters (the DDP-equivalence guarantee, train_imc.py:472); also
+    exercises the cross-process param reshard for diagnostics and the
+    distributed orbax save of process-spanning shards."""
     import socket
     import subprocess
     import sys
@@ -211,7 +214,7 @@ def test_trainer_multiprocess_matches_single(tmp_path):
             subprocess.Popen(
                 [sys.executable, "-m", "tests._trainer_mh_worker",
                  str(port), str(nprocs), str(i), str(ndev), root,
-                 str(tmp_path / f"res_{tag}"), out],
+                 str(tmp_path / f"res_{tag}"), out, "1"],  # fsdp on
                 env=env, cwd=repo,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )

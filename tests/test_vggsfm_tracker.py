@@ -274,3 +274,55 @@ class TestDependencyUpdateformerGolden:
         qp = jnp.asarray(rng.uniform(12, 50, size=(1, 5, 2)).astype(np.float32))
         fine, coarse, vis = VT.track(p, images, qp, cfg, coarse_iters=2)
         assert np.isfinite(np.asarray(fine)).all()
+
+
+class TestRefineTrackGolden:
+    def test_refine_track_matches_torch(self, torch, rng):
+        """End-to-end patch refinement (track_refine.py:22-187): patch
+        extraction, ShallowEncoder features, fine predictor, unclamped
+        topleft add-back and query-row reset, vs the reference."""
+        from sailrecon.dependency.track_modules.base_track_predictor import (
+            BaseTrackerPredictor,
+        )
+        from sailrecon.dependency.track_modules.blocks import ShallowEncoder
+        from sailrecon.dependency.track_modules.track_refine import (
+            refine_track as torch_refine,
+        )
+
+        fine_kw = dict(stride=1, corr_levels=3, corr_radius=3, latent_dim=32,
+                       hidden_size=64, depth=2, fine=True, use_spaceatt=False)
+        enc = ShallowEncoder(stride=1, output_dim=32).eval()
+        pred = BaseTrackerPredictor(**fine_kw).eval()
+        sd = {}
+        for k, v in C.torch_module_to_state_dict(enc).items():
+            sd[f"fine_fnet.{k}"] = v
+        for k, v in C.torch_module_to_state_dict(pred).items():
+            sd[f"fine_predictor.{k}"] = v
+        p_enc = C.convert_shallow_encoder(sd, "fine_fnet")
+        p_pred = C.convert_vggsfm_predictor(
+            sd, "fine_predictor", depth=2, use_spaceatt=False, fine=True
+        )
+        cfg = VT.VGGSfMTrackerConfig(
+            coarse=VT.VGGSfMPredictorConfig(stride=4, corr_levels=2,
+                                            corr_radius=2, latent_dim=32,
+                                            hidden_size=64, depth=2),
+            fine=VT.VGGSfMPredictorConfig(**fine_kw),
+            pradius=7, fine_iters=2,
+        )
+        B, S, N, H, W = 1, 3, 5, 64, 64
+        images = rng.uniform(size=(B, S, H, W, 3)).astype(np.float32)
+        coarse = rng.uniform(20.0, 44.0, size=(B, S, N, 2)).astype(np.float32)
+        with torch.no_grad():
+            ref, _ = torch_refine(
+                torch.from_numpy(images.transpose(0, 1, 4, 2, 3)),
+                enc, pred, torch.from_numpy(coarse),
+                pradius=7, fine_iters=2,
+            )
+        out = VT.refine_track(
+            jnp.asarray(images), p_enc, p_pred, jnp.asarray(coarse), cfg
+        )
+        np.testing.assert_allclose(np.asarray(out), to_np(ref), atol=5e-2)
+        # the query frame's coords must be returned untouched (exactly)
+        np.testing.assert_allclose(
+            np.asarray(out[:, 0]), coarse[:, 0], atol=1e-6
+        )
