@@ -81,6 +81,36 @@ void R_to_aa(const double* R, double* aa) {
   double theta = std::acos(c);
   double w[3] = {R[7] - R[5], R[2] - R[6], R[3] - R[1]};
   double s = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+  if (theta > M_PI - 1e-4) {
+    // theta ~ pi: w ~ 0 is uninformative — recover the axis from the
+    // symmetric part (R + I)/2 = k k^T at pi, sign from w (matching
+    // native/ba.py::_np_mat_to_axis_angle; without this branch a
+    // 180-degree pose would round-trip to near-identity and the LM step
+    // for that camera would always be rejected)
+    double A[9];
+    for (int i = 0; i < 9; i++) A[i] = R[i] / 2.0;
+    A[0] += 0.5; A[4] += 0.5; A[8] += 0.5;
+    double dgs[3] = {std::sqrt(std::fmax(A[0], 0.0)),
+                     std::sqrt(std::fmax(A[4], 0.0)),
+                     std::sqrt(std::fmax(A[8], 0.0))};
+    int k = 0;
+    if (dgs[1] > dgs[k]) k = 1;
+    if (dgs[2] > dgs[k]) k = 2;
+    double ax[3] = {0.0, 0.0, 1.0};
+    if (dgs[k] > 0) {
+      ax[0] = A[0 * 3 + k] / dgs[k];
+      ax[1] = A[1 * 3 + k] / dgs[k];
+      ax[2] = A[2 * 3 + k] / dgs[k];
+      double n = std::sqrt(ax[0] * ax[0] + ax[1] * ax[1] + ax[2] * ax[2]);
+      if (n > 0) { ax[0] /= n; ax[1] /= n; ax[2] /= n; }
+    }
+    double sgn = w[0] * ax[0] + w[1] * ax[1] + w[2] * ax[2];
+    sgn = sgn < 0 ? -1.0 : 1.0;
+    aa[0] = sgn * ax[0] * theta;
+    aa[1] = sgn * ax[1] * theta;
+    aa[2] = sgn * ax[2] * theta;
+    return;
+  }
   if (s < 1e-12 || theta < 1e-12) {
     aa[0] = 0.5 * w[0]; aa[1] = 0.5 * w[1]; aa[2] = 0.5 * w[2];
     return;

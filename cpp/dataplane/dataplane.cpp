@@ -162,7 +162,9 @@ int dp_png16_decode(const unsigned char* buf, size_t n, uint16_t* out) {
         for (size_t i = 0; i < tmp.size(); i++) out[i] = tmp[i];
     }
     png_destroy_read_struct(&png, &info, nullptr);
-    return (h << 16) | w;  // unused by callers that pre-queried info
+    // plain 0 on success: packing (h << 16) | w would set the sign bit for
+    // h >= 32768 and trip callers' `< 0` error checks on valid tall images
+    return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -421,6 +423,10 @@ int dp_sample_pair(const unsigned char* xbuf, size_t xn,
     int ws, hs, tmpw, tmph;
     if (dp_png16_info(cbuf, cn, &ws, &hs) != 0) return -1;
     if (dp_png16_info(xbuf, xn, &tmpw, &tmph) != 0 || tmpw != ws || tmph != hs)
+        return -2;
+    // _y must match too: decoding writes through row pointers sized by the
+    // y image's OWN header, so a dims mismatch would overflow cy
+    if (dp_png16_info(ybuf, yn, &tmpw, &tmph) != 0 || tmpw != ws || tmph != hs)
         return -2;
     size_t npix = size_t(ws) * hs;
     std::vector<uint16_t> cx(npix), cy(npix), cc(npix);

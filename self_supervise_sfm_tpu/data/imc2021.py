@@ -163,8 +163,13 @@ class IMC2021Scenes:
             name_to_idx = {nm: i for i, nm in enumerate(names)}
             pairs = []
             for pair_name in f["corres_i2j"].keys():
-                a, b = pair_name.split("_")
-                sa, sb = f"{a}.jpg", f"{b}.jpg"
+                # '000000_000001' style keys; take the first two parts like
+                # the reference (imc2021.py:169-171) instead of a strict
+                # 2-way unpack that would raise on extra underscores
+                parts = pair_name.split("_")
+                if len(parts) < 2:
+                    continue
+                sa, sb = f"{parts[0]}.jpg", f"{parts[1]}.jpg"
                 if sa in name_to_idx and sb in name_to_idx:
                     pairs.append((name_to_idx[sa], name_to_idx[sb], pair_name, sa, sb))
             pairs = pairs[: self.max_pairs]
@@ -234,8 +239,13 @@ class IMC2021Scenes:
             name_to_idx = {nm: i for i, nm in enumerate(names)}
             pair_jobs = []  # (slot, src_i, dst_i, xbytes, ybytes, cbytes, seed)
             for pair_name in f["corres_i2j"].keys():
-                a, b = pair_name.split("_")
-                sa, sb = f"{a}.jpg", f"{b}.jpg"
+                # '000000_000001' style keys; take the first two parts like
+                # the reference (imc2021.py:169-171) instead of a strict
+                # 2-way unpack that would raise on extra underscores
+                parts = pair_name.split("_")
+                if len(parts) < 2:
+                    continue
+                sa, sb = f"{parts[0]}.jpg", f"{parts[1]}.jpg"
                 if sa in name_to_idx and sb in name_to_idx:
                     if len(pair_jobs) >= self.max_pairs:
                         break

@@ -83,11 +83,15 @@ def build(force: bool = False) -> str:
         and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
     ):
         return _LIB
+    # compile to a private temp then atomically rename (multi-process safe:
+    # jax.distributed workers sharing one checkout race the build otherwise)
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", _SRC, "-o", _LIB,
+        "-std=c++17", _SRC, "-o", tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -157,27 +161,15 @@ def ba_solve(
     """Run the native LM-Schur solver; returns (extrinsics, points, info)."""
     lib = _load()
     C = extrinsics.shape[0]
-    aa = _np_mat_to_axis_angle(extrinsics[:, :3, :3])
-    cam = np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
-    cam = np.ascontiguousarray(cam)
-    K4 = np.ascontiguousarray(
-        np.stack(
-            [intrinsics[:, 0, 0], intrinsics[:, 1, 1], intrinsics[:, 0, 2], intrinsics[:, 1, 2]],
-            axis=1,
-        ).astype(np.float64)
+    cam, K4, pts, cam_idx, pt_idx, uv, weight = _prep_problem(
+        extrinsics, intrinsics, points, cam_idx, pt_idx, uv, weight
     )
-    pts = np.ascontiguousarray(points.astype(np.float64))
-    if weight is None:
-        weight = np.ones(len(uv))
     final_cost = ctypes.c_double(0.0)
     iters_run = ctypes.c_int(0)
     ret = lib.ba_solve(
         C, pts.shape[0], len(uv),
         cam, K4, pts,
-        np.ascontiguousarray(cam_idx.astype(np.int32)),
-        np.ascontiguousarray(pt_idx.astype(np.int32)),
-        np.ascontiguousarray(uv.astype(np.float64)),
-        np.ascontiguousarray(weight.astype(np.float64)),
+        cam_idx, pt_idx, uv, weight,
         max_iters, init_lambda, huber_delta,
         ctypes.byref(final_cost), ctypes.byref(iters_run),
     )
@@ -275,6 +267,89 @@ def apply_cam_step(cam, dc):
     return out
 
 
+
+def _prep_problem(extrinsics, intrinsics, points, cam_idx, pt_idx, uv, weight):
+    """Shared front-end of every solver: (axis-angle|t) camera params, the
+    4-vector intrinsics, and contiguous float64/int32 problem arrays."""
+    aa = _np_mat_to_axis_angle(extrinsics[:, :3, :3])
+    cam = np.ascontiguousarray(
+        np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
+    )
+    K4 = np.ascontiguousarray(
+        np.stack(
+            [intrinsics[:, 0, 0], intrinsics[:, 1, 1],
+             intrinsics[:, 0, 2], intrinsics[:, 1, 2]],
+            axis=1,
+        ).astype(np.float64)
+    )
+    if weight is None:
+        weight = np.ones(len(uv))
+    return (
+        cam, K4,
+        np.ascontiguousarray(points.astype(np.float64)),
+        np.ascontiguousarray(np.asarray(cam_idx, np.int32)),
+        np.ascontiguousarray(np.asarray(pt_idx, np.int32)),
+        np.ascontiguousarray(np.asarray(uv, np.float64)),
+        np.ascontiguousarray(np.asarray(weight, np.float64)),
+    )
+
+
+def _gauge_rows(cam, gauge_fix: bool) -> np.ndarray:
+    """Reduced-system rows to pin: camera 0 entirely + camera 1's largest-|t|
+    translation component (global scale) — COLMAP-style, same convention as
+    ``ops.bundle_adjust.gauge_mask``."""
+    if not gauge_fix:
+        return np.empty(0, np.int64)
+    fixed = np.arange(6)
+    if cam.shape[0] > 1:
+        comp = int(np.argmax(np.abs(cam[1, 3:6])))
+        fixed = np.concatenate([fixed, [6 + 3 + comp]])
+    return fixed
+
+
+def _lm_loop(shards, reduce3, cost_reduce, cam, fixed_rows,
+             max_iters, init_lambda):
+    """The shared LM accept/reject drive over point-partitioned shards.
+
+    ``reduce3(S_list, rhs_list, cost_list) -> (S, rhs, cost)`` sums the
+    additive reduced-system partials across shards (numpy locally, psum
+    across hosts); ``cost_reduce(cost_list) -> float`` sums bare scalars
+    (so the multihost path need not ship a (6C)^2 matrix to reduce one
+    number). Both callers must keep identical control flow — that is the
+    "multihost == N-shard single-process" guarantee.
+    """
+    lam = init_lambda
+    cost = cost_reduce([sh.cost(cam) for sh in shards])
+    it = 0
+    for it in range(max_iters):
+        parts = [sh.linearize(cam, lam) for sh in shards]
+        S, rhs, _ = reduce3(
+            [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts]
+        )
+        if fixed_rows.size:
+            S = np.asarray(S, np.float64).copy()
+            rhs = np.asarray(rhs, np.float64).copy()
+            S[fixed_rows, :] = 0.0
+            S[:, fixed_rows] = 0.0
+            S[fixed_rows, fixed_rows] = 1.0
+            rhs[fixed_rows] = 0.0
+        dc = solve_reduced(S, rhs, lam)
+        if dc is None:
+            lam *= 10.0
+            continue
+        cam_new = apply_cam_step(cam, dc)
+        new_cost = cost_reduce([sh.trial(cam_new, dc) for sh in shards])
+        if new_cost < cost:
+            cost = new_cost
+            lam = max(lam * 0.5, 1e-9)
+            cam = cam_new
+            for sh in shards:
+                sh.accept()
+        else:
+            lam = min(lam * 4.0, 1e8)
+    return cam, cost, it
+
+
 def ba_solve_multihost(
     extrinsics: np.ndarray,  # (C, 3, 4) w2c
     intrinsics: np.ndarray,  # (C, 3, 3)
@@ -317,22 +392,9 @@ def ba_solve_multihost(
     nproc = jax.process_count()
     proc = jax.process_index()
 
-    aa = _np_mat_to_axis_angle(extrinsics[:, :3, :3])
-    cam = np.ascontiguousarray(
-        np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
+    cam, K4, points, cam_idx, pt_idx, uv, weight = _prep_problem(
+        extrinsics, intrinsics, points, cam_idx, pt_idx, uv, weight
     )
-    K4 = np.ascontiguousarray(
-        np.stack(
-            [intrinsics[:, 0, 0], intrinsics[:, 1, 1], intrinsics[:, 0, 2], intrinsics[:, 1, 2]],
-            axis=1,
-        ).astype(np.float64)
-    )
-    if weight is None:
-        weight = np.ones(len(uv))
-    cam_idx = np.asarray(cam_idx, np.int32)
-    pt_idx = np.asarray(pt_idx, np.int32)
-    uv = np.asarray(uv, np.float64)
-    weight = np.asarray(weight, np.float64)
 
     owner = np.arange(P) % nproc
     local_idx = np.arange(P) // nproc
@@ -344,23 +406,23 @@ def ba_solve_multihost(
         uv[sel_o], weight[sel_o], huber_delta,
     )
 
-    n = 6 * C
     mesh = jax.make_mesh((jax.device_count(),), ("w",))
     L = jax.local_device_count()
 
-    def _psum3(S, rhs, cost):
-        """All-reduce the per-process partials over every device; each
-        process contributes its partial / local_device_count on each of its
-        devices, so the device psum equals the process sum."""
-        with jax.enable_x64():
-            def to_global(x):
-                x = np.asarray(x, np.float64) / L
-                gs = (jax.device_count(),) + x.shape
-                arrs = [jax.device_put(x[None], d) for d in jax.local_devices()]
-                return jax.make_array_from_single_device_arrays(
-                    gs, NamedSharding(mesh, PS("w")), arrs
-                )
+    def _to_global(x):
+        """Host partial -> global device array: each local device carries the
+        process partial / local_device_count, so a device psum equals the
+        process sum."""
+        x = np.asarray(x, np.float64) / L
+        gs = (jax.device_count(),) + x.shape
+        arrs = [jax.device_put(x[None], d) for d in jax.local_devices()]
+        return jax.make_array_from_single_device_arrays(
+            gs, NamedSharding(mesh, PS("w")), arrs
+        )
 
+    def _psum3(S, rhs, cost):
+        """All-reduce the (S, rhs, cost) partials across processes."""
+        with jax.enable_x64():
             def body(S, rhs, cost):
                 return (
                     jax.lax.psum(S, "w"),
@@ -372,46 +434,30 @@ def ba_solve_multihost(
                 body, mesh=mesh,
                 in_specs=(PS("w"), PS("w"), PS("w")),
                 out_specs=(PS(), PS(), PS()),
-            )(to_global(S), to_global(rhs), to_global(np.asarray([cost])))
+            )(_to_global(S), _to_global(rhs), _to_global(np.asarray([cost])))
             return (
                 np.asarray(So[0], np.float64),
                 np.asarray(ro[0], np.float64),
                 float(np.asarray(co[0])[0]),
             )
 
-    fixed_rows = np.empty(0, np.int64)
-    if gauge_fix:
-        fixed_rows = np.arange(6)
-        if C > 1:
-            comp = int(np.argmax(np.abs(cam[1, 3:6])))
-            fixed_rows = np.concatenate([fixed_rows, [6 + 3 + comp]])
+    def _psum_scalar(cost):
+        """Scalar-only all-reduce: the cost path previously rode through
+        ``_psum3`` with (6C)^2 zero matrices — pure collective waste."""
+        with jax.enable_x64():
+            out = jax.shard_map(
+                lambda c: jax.lax.psum(c, "w"), mesh=mesh,
+                in_specs=PS("w"), out_specs=PS(),
+            )(_to_global(np.asarray([cost])))
+            return float(np.asarray(out[0])[0])
 
-    zS = np.zeros((n, n), np.float64)
-    zr = np.zeros(n, np.float64)
-    lam = init_lambda
-    _, _, cost = _psum3(zS, zr, shard.cost(cam))
-    it = 0
-    for it in range(max_iters):
-        S_l, rhs_l, _ = shard.linearize(cam, lam)
-        S, rhs, _ = _psum3(S_l, rhs_l, 0.0)
-        if fixed_rows.size:
-            S[fixed_rows, :] = 0.0
-            S[:, fixed_rows] = 0.0
-            S[fixed_rows, fixed_rows] = 1.0
-            rhs[fixed_rows] = 0.0
-        dc = solve_reduced(S, rhs, lam)
-        if dc is None:
-            lam *= 10.0
-            continue
-        cam_new = apply_cam_step(cam, dc)
-        _, _, new_cost = _psum3(zS, zr, shard.trial(cam_new, dc))
-        if new_cost < cost:
-            cost = new_cost
-            lam = max(lam * 0.5, 1e-9)
-            cam = cam_new
-            shard.accept()
-        else:
-            lam = min(lam * 4.0, 1e8)
+    fixed_rows = _gauge_rows(cam, gauge_fix)
+    cam, cost, it = _lm_loop(
+        [shard],
+        lambda Sl, rl, cl: _psum3(Sl[0], rl[0], cl[0]),
+        lambda vals: _psum_scalar(float(np.sum(vals))),
+        cam, fixed_rows, max_iters, init_lambda,
+    )
 
     # re-gather the point partition: pad each process's slice to the max
     # shard size, all-gather, then scatter back by owner
@@ -472,22 +518,9 @@ def ba_solve_distributed(
     """
     C = extrinsics.shape[0]
     P = points.shape[0]
-    aa = _np_mat_to_axis_angle(extrinsics[:, :3, :3])
-    cam = np.ascontiguousarray(
-        np.concatenate([aa, extrinsics[:, :3, 3]], axis=1).astype(np.float64)
+    cam, K4, points, cam_idx, pt_idx, uv, weight = _prep_problem(
+        extrinsics, intrinsics, points, cam_idx, pt_idx, uv, weight
     )
-    K4 = np.ascontiguousarray(
-        np.stack(
-            [intrinsics[:, 0, 0], intrinsics[:, 1, 1], intrinsics[:, 0, 2], intrinsics[:, 1, 2]],
-            axis=1,
-        ).astype(np.float64)
-    )
-    if weight is None:
-        weight = np.ones(len(uv))
-    cam_idx = np.asarray(cam_idx, np.int32)
-    pt_idx = np.asarray(pt_idx, np.int32)
-    uv = np.asarray(uv, np.float64)
-    weight = np.asarray(weight, np.float64)
 
     # round-robin point partition; each point's observations follow it
     owner = np.arange(P) % num_shards
@@ -514,42 +547,11 @@ def ba_solve_distributed(
                 float(np.sum(cost_list)),
             )
 
-    fixed_rows = np.empty(0, np.int64)
-    if gauge_fix:
-        fixed_rows = np.arange(6)
-        if C > 1:
-            comp = int(np.argmax(np.abs(cam[1, 3:6])))
-            fixed_rows = np.concatenate([fixed_rows, [6 + 3 + comp]])
-
-    lam = init_lambda
-    cost = float(np.sum([sh.cost(cam) for sh in shards]))
-    it = 0
-    for it in range(max_iters):
-        parts = [sh.linearize(cam, lam) for sh in shards]
-        S, rhs, _ = reduce_fn(
-            [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts]
-        )
-        if fixed_rows.size:
-            S = np.asarray(S, np.float64).copy()
-            rhs = np.asarray(rhs, np.float64).copy()
-            S[fixed_rows, :] = 0.0
-            S[:, fixed_rows] = 0.0
-            S[fixed_rows, fixed_rows] = 1.0
-            rhs[fixed_rows] = 0.0
-        dc = solve_reduced(S, rhs, lam)
-        if dc is None:
-            lam *= 10.0
-            continue
-        cam_new = apply_cam_step(cam, dc)
-        new_cost = float(np.sum([sh.trial(cam_new, dc) for sh in shards]))
-        if new_cost < cost:
-            cost = new_cost
-            lam = max(lam * 0.5, 1e-9)
-            cam = cam_new
-            for sh in shards:
-                sh.accept()
-        else:
-            lam = min(lam * 4.0, 1e8)
+    fixed_rows = _gauge_rows(cam, gauge_fix)
+    cam, cost, it = _lm_loop(
+        shards, reduce_fn, lambda vals: float(np.sum(vals)),
+        cam, fixed_rows, max_iters, init_lambda,
+    )
 
     pts_out = np.empty((P, 3), np.float64)
     for w, sh in enumerate(shards):

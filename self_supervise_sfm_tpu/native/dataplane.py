@@ -37,11 +37,16 @@ def build(force: bool = False) -> str:
         and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
     ):
         return _LIB
+    # compile to a private temp then atomically rename: several processes
+    # (jax.distributed workers sharing one checkout) may race the build, and
+    # a partially written .so must never be dlopen'd
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB, "-ljpeg", "-lpng", "-lz",
+        _SRC, "-o", tmp, "-ljpeg", "-lpng", "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -96,13 +101,24 @@ def available() -> bool:
     return _load() is not None
 
 
+def _require():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native data plane unavailable: cpp/dataplane failed to build "
+            "(needs g++ with libjpeg/libpng); pass use_native=False / "
+            "--no-native-loader for the pure-python pipeline"
+        )
+    return lib
+
+
 def _as_u8p(b: bytes):
     return ctypes.cast(ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_ubyte))
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """JPEG bytes -> (H, W, 3) uint8 RGB (grayscale sources expanded)."""
-    lib = _load()
+    lib = _require()
     w, h = ctypes.c_int(), ctypes.c_int()
     if lib.dp_jpeg_info(_as_u8p(data), len(data), w, h) != 0:
         raise ValueError("bad JPEG")
@@ -114,7 +130,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
 def png16_decode(data: bytes) -> np.ndarray:
     """16-bit grayscale PNG bytes -> (H, W) uint16."""
-    lib = _load()
+    lib = _require()
     w, h = ctypes.c_int(), ctypes.c_int()
     if lib.dp_png16_info(_as_u8p(data), len(data), w, h) != 0:
         raise ValueError("bad PNG")
@@ -126,7 +142,7 @@ def png16_decode(data: bytes) -> np.ndarray:
 
 def preprocess_rgb(data: bytes, target: int = 518):
     """JPEG bytes -> ((T, T, 3) f32 [0,1], K_to_K_prime, K_prime_to_K)."""
-    lib = _load()
+    lib = _require()
     out = np.empty((target, target, 3), np.float32)
     k2kp = np.empty((3, 3), np.float32)
     kp2k = np.empty((3, 3), np.float32)
@@ -139,7 +155,7 @@ def preprocess_depth(
     data: bytes, target: int = 518, want_raw: bool = True
 ) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, np.ndarray]:
     """u16-mm PNG bytes -> ((T, T) f32 m, raw (H, W) f32 m | None, K mats)."""
-    lib = _load()
+    lib = _require()
     w, h = ctypes.c_int(), ctypes.c_int()
     if lib.dp_png16_info(_as_u8p(data), len(data), w, h) != 0:
         raise ValueError("bad PNG")
@@ -166,7 +182,7 @@ def sample_pair(
     matching ``data/preprocess.py::sample_correspondence_and_depth``
     semantics (same distribution; a splitmix64 stream instead of numpy's).
     """
-    lib = _load()
+    lib = _require()
     depth_src = np.ascontiguousarray(depth_src, np.float32)
     depth_dst = np.ascontiguousarray(depth_dst, np.float32)
     K = sample_num

@@ -228,3 +228,50 @@ class TestDistributedBA:
         )
         np.testing.assert_allclose(e_ps, e_np, atol=1e-6)
         np.testing.assert_allclose(p_ps, p_np, atol=1e-6)
+
+
+class TestAxisAngleEdgeCases:
+    def test_near_pi_rotation_roundtrips(self, native, rng):
+        """apply_cam_step round-trips poses through R -> axis-angle each
+        accepted step; at theta ~ pi the w-vector formula degenerates and
+        the C++ path must use the symmetric-part axis recovery (matching
+        _np_mat_to_axis_angle) or a 180-degree pose collapses to identity."""
+        from self_supervise_sfm_tpu.native.ba import (
+            _np_axis_angle_to_mat, _np_mat_to_axis_angle, apply_cam_step,
+        )
+
+        axes = np.asarray(
+            [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0],
+             [1.0, 1.0, 0], [-0.3, 0.5, 0.81]]
+        )
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        for theta in (np.pi, np.pi - 1e-7, np.pi - 1e-5):
+            cam = np.zeros((len(axes), 6))
+            cam[:, :3] = axes * theta
+            # zero step: the pose must survive the R -> aa -> R round-trip
+            out = apply_cam_step(cam, np.zeros_like(cam))
+            R_in = _np_axis_angle_to_mat(cam[:, :3])
+            R_out = _np_axis_angle_to_mat(out[:, :3])
+            # sqrt(eps)-conditioned near pi: ~1e-5 is the attainable
+            # accuracy; the pre-fix failure mode was an O(1) collapse to
+            # identity
+            np.testing.assert_allclose(R_out, R_in, atol=1e-4)
+
+    def test_cpp_matches_numpy_mat_to_aa(self, native, rng):
+        """The C++ R_to_aa (via a zero apply_cam_step) agrees with the numpy
+        converter across random rotations including near-pi ones."""
+        from self_supervise_sfm_tpu.native.ba import (
+            _np_axis_angle_to_mat, apply_cam_step,
+        )
+
+        aa = rng.normal(size=(50, 3))
+        aa[:10] = (
+            aa[:10] / np.linalg.norm(aa[:10], axis=1, keepdims=True)
+        ) * (np.pi - 1e-6)
+        cam = np.zeros((50, 6))
+        cam[:, :3] = aa
+        out = apply_cam_step(cam, np.zeros_like(cam))
+        np.testing.assert_allclose(
+            _np_axis_angle_to_mat(out[:, :3]), _np_axis_angle_to_mat(aa),
+            atol=1e-6,
+        )
