@@ -17,8 +17,7 @@ import jax.numpy as jnp
 
 from . import params as P
 from .attention import (
-    AttentionConfig, attention, attention_from_qkv, attention_heads_out,
-    init_attention, kv_heads, qkv_heads,
+    AttentionConfig, attention_heads_out, init_attention, kv_heads, qkv_heads,
 )
 
 
@@ -230,25 +229,11 @@ def block(
     mask: Optional[jax.Array] = None,
     extra_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
-    if _fused_qkv_applicable(p, cfg, x, rope_cos_sin):
-        q, k, v = _fused_qkv(p, x, cfg, rope_cos_sin)
-        o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
-        x = _fused_proj_residual(p, o, x)
-    elif rope_cos_sin is None and _fused_qkv_plain_applicable(p, cfg, x):
-        from ..ops.fused_qkv import fused_ln_qkv
-
-        q, k, v = fused_ln_qkv(
-            x, p["norm1"]["scale"], p["norm1"]["bias"],
-            p["attn"]["qkv"]["w"], p["attn"]["qkv"]["b"],
-            cfg.num_heads, cfg.ln_eps,
-        )
-        o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
-        x = _fused_proj_residual(p, o, x)
-    else:
-        h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
-        a = attention(p["attn"], h, cfg.attn, rope_cos_sin, mask, extra_kv)
-        x = x + P.layer_scale(p["ls1"], a)
-    return _mlp_residual(p, x, cfg)
+    # composed from the two halves so the fused-kernel gating lives in ONE
+    # place (qkv_parts / attn_out_mlp) for every block variant
+    q, k, v = qkv_parts(p, x, cfg, rope_cos_sin)
+    o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
+    return attn_out_mlp(p, o, x, cfg)
 
 
 def block_with_context(
@@ -270,15 +255,7 @@ def block_with_context(
     """
     hc = P.layer_norm(p["norm1"], context, cfg.ln_eps)
     ekv = kv_heads(p["attn"], hc, cfg.attn, rope_ctx)
-    if _fused_qkv_applicable(p, cfg, x, rope_q):
-        q, k, v = _fused_qkv(p, x, cfg, rope_q)
-        o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv=ekv)
-        x = _fused_proj_residual(p, o, x)
-    else:
-        h = P.layer_norm(p["norm1"], x, cfg.ln_eps)
-        a = attention(p["attn"], h, cfg.attn, rope_q, mask, extra_kv=ekv)
-        x = x + P.layer_scale(p["ls1"], a)
-    return _mlp_residual(p, x, cfg)
+    return block(p, x, cfg, rope_q, mask, extra_kv=ekv)
 
 
 def block_context_kv(

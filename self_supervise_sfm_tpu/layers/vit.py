@@ -79,7 +79,7 @@ def vit_giant2(**kw):
 
 
 def init_vit(key, cfg: ViTConfig):
-    k_patch, k_pos, k_blocks = jax.random.split(key, 3)
+    k_patch, k_pos, k_reg, k_blocks = jax.random.split(key, 4)
     block_keys = jax.random.split(k_blocks, cfg.depth)
     blocks = jax.vmap(lambda k: init_block(k, cfg.block_cfg))(block_keys)
     return {
@@ -94,7 +94,7 @@ def init_vit(key, cfg: ViTConfig):
         ),
         "register_tokens": (
             1e-6 * jax.random.normal(
-                k_pos, (1, cfg.num_register_tokens, cfg.embed_dim), jnp.float32
+                k_reg, (1, cfg.num_register_tokens, cfg.embed_dim), jnp.float32
             )
             if cfg.num_register_tokens
             else None

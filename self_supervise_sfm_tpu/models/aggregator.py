@@ -267,7 +267,19 @@ def _make_indices(cfg, subsample_key, subsample_indices, B, A, P0, rank):
             perm.shape[:-1] + (cfg.patch_start_idx,),
         )
         return jnp.concatenate([specials, perm], axis=-1)
-    assert subsample_key is not None
+    if subsample_key is None:
+        # full rank keeps every patch token and the outputs are invariant to
+        # permutation order (KV-set invariance, tests/test_model_parity) —
+        # no randomness is needed, so default-argument callers (e.g.
+        # pose_forward with rank=P0) work without a key
+        assert rank == P0, (
+            "subsample_key (or explicit subsample_indices) is required when "
+            f"rank ({rank}) < num patch tokens ({P0})"
+        )
+        idx = jnp.arange(cfg.patch_start_idx + P0, dtype=jnp.int32)
+        return jnp.broadcast_to(
+            idx, (cfg.depth, B, A, cfg.patch_start_idx + P0)
+        )
     return _subsample_indices(subsample_key, cfg, B, A, P0, rank)
 
 
@@ -550,6 +562,7 @@ def aggregator_reloc(
     # single scan with in-carry tap accumulation (see aggregator_forward)
     tap_list = tuple(cfg.intermediate_layer_idx)
     assert tap_list == tuple(sorted(tap_list))
+    assert tap_list[-1] == cfg.depth - 1, "last layer must be an intermediate tap"
     n_tap = len(tap_list)
     tap_idx_arr = jnp.asarray(tap_list, jnp.int32)
     taps_buf = jnp.zeros((n_tap, B, Q, Ptok, 2 * C), jnp.float32)

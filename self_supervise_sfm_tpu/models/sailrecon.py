@@ -18,8 +18,8 @@ disabled-AMP head region (``sail_recon.py:119``). All outputs stay on device
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from typing import Any, Dict, Optional
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,11 +169,15 @@ def _decode_heads(p, cfg, taps, cam_token_last_layer, images_hw, patch_start_idx
     H, W = images_hw
     predictions: Dict[str, jax.Array] = {}
 
-    cam_maps = camera_head(p["camera_head"], taps[-1], cam_token_last_layer, cfg.camera)
-    extrinsic, intrinsic = G.pose_encoding_to_extri_intri(cam_maps[-1], (H, W))
-    predictions["pose_enc_list"] = cam_maps
-    predictions["extrinsic"] = extrinsic
-    predictions["intrinsic"] = intrinsic
+    extrinsic = intrinsic = None
+    if cfg.enable_camera:
+        cam_maps = camera_head(
+            p["camera_head"], taps[-1], cam_token_last_layer, cfg.camera
+        )
+        extrinsic, intrinsic = G.pose_encoding_to_extri_intri(cam_maps[-1], (H, W))
+        predictions["pose_enc_list"] = cam_maps
+        predictions["extrinsic"] = extrinsic
+        predictions["intrinsic"] = intrinsic
 
     if cfg.enable_point:
         xyz_map, xyz_conf = dpt_head(
@@ -187,9 +191,11 @@ def _decode_heads(p, cfg, taps, cam_token_last_layer, images_hw, patch_start_idx
         )
         predictions["depth_map"] = dpt_map
         predictions["dpt_cnf"] = dpt_conf
-        predictions["point_map_by_unprojection"] = G.unproject_depth_to_world(
-            dpt_map[..., 0], extrinsic, intrinsic
-        )
+        if extrinsic is not None:
+            # depth unprojection needs the predicted poses/intrinsics
+            predictions["point_map_by_unprojection"] = G.unproject_depth_to_world(
+                dpt_map[..., 0], extrinsic, intrinsic
+            )
     predictions["cam_tokens"] = taps[-1][:, :, 0]
     return predictions
 

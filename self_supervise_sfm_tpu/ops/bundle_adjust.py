@@ -120,6 +120,7 @@ def _residuals(problem: BAProblem):
     return (pred - problem.uv) * problem.weight[:, None]
 
 
+@G.f32_matmul
 def reprojection_rmse(problem: BAProblem) -> jax.Array:
     r = _residuals(problem)
     w = problem.weight
@@ -162,6 +163,7 @@ def gauge_mask(
 
 
 @partial(jax.jit, static_argnums=(1,))
+@G.f32_matmul
 def bundle_adjust(
     problem: BAProblem,
     cfg: BAConfig = BAConfig(),

@@ -471,7 +471,13 @@ def iterative_undistortion(
         J10 = (fy_px - fy_mx) / (2.0 * step_x)
         J11 = (fy_py - fy_my) / (2.0 * step_y)
         det = J00 * J11 - J01 * J10
-        det = jnp.where(jnp.abs(det) < 1e-12, jnp.sign(det) * 1e-12 + 1e-12, det)
+        # sign-preserving floor: sign(det)*eps + eps would be EXACTLY zero
+        # for small negative det, turning the Newton step infinite
+        det = jnp.where(
+            jnp.abs(det) < 1e-12,
+            jnp.where(det < 0, -1e-12, 1e-12),
+            det,
+        )
         dx = (J11 * fx - J01 * fy) / det
         dy = (-J10 * fx + J00 * fy) / det
         step_sq = dx * dx + dy * dy

@@ -24,7 +24,11 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     if nprocs > 1:
-        jax.distributed.initialize(f"localhost:{port}", nprocs, pid)
+        # generous rendezvous timeout: CI boxes running the full suite can
+        # stall a worker's startup long enough to trip the default
+        jax.distributed.initialize(
+            f"localhost:{port}", nprocs, pid, initialization_timeout=600
+        )
 
     import numpy as np
 

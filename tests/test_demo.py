@@ -42,3 +42,33 @@ def test_reconstruct_demo(tmp_path, monkeypatch, mode):
     scene_dir = os.path.join(out, name)
     assert os.path.exists(os.path.join(scene_dir, "pred.ply"))
     assert os.path.exists(os.path.join(scene_dir, "poses_kitti.txt"))
+
+
+def test_pose_only_and_headless_configs(rng):
+    """Config-gated paths: pose_forward with its default subsample_key at
+    full rank (no PRNG needed — permutation-invariant), and a model built
+    with enable_camera=False must run without the camera head (no
+    unprojection output, which needs poses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from self_supervise_sfm_tpu.models import sailrecon as M
+
+    cfg = M.make_config(img_size=28, embed_dim=64, depth=4, num_heads=4,
+                        vit_depth=1, intermediate_layer_idx=(0, 1, 2, 3))
+    params = jax.jit(lambda k: M.init_sailrecon(k, cfg))(jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.uniform(size=(1, 2, 28, 28, 3)).astype(np.float32))
+    ext, intr = M.pose_forward(params, cfg, images, num_anchor=1, num_query=1)
+    assert ext.shape == (1, 1, 3, 4) and intr.shape == (1, 1, 3, 3)
+    assert np.isfinite(np.asarray(ext)).all()
+
+    from dataclasses import replace
+
+    cfg_nc = replace(cfg, enable_camera=False)
+    params_nc = jax.jit(lambda k: M.init_sailrecon(k, cfg_nc))(
+        jax.random.PRNGKey(1)
+    )
+    preds = M.forward(params_nc, cfg_nc, images, num_anchor=1, num_query=1,
+                      rank=2, subsample_key=jax.random.PRNGKey(2))
+    assert "extrinsic" not in preds and "depth_map" in preds
+    assert "point_map_by_unprojection" not in preds
