@@ -176,13 +176,25 @@ def fsdp_sharding(mesh: Mesh, tree):
     return param_sharding(mesh, tree, fsdp=True)
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put numeric leaves of a host batch onto the mesh data axis."""
+def shard_batch(batch: dict, mesh: Mesh, process_local: bool = False) -> dict:
+    """Device-put numeric leaves of a host batch onto the mesh data axis.
+
+    ``process_local``: the batch holds only THIS process's slice of the
+    global batch axis (each host loaded its own scenes); the global arrays
+    are assembled from the per-process slices. Default: the batch is the
+    full global value on every process (replicated host data) and each
+    process transfers its addressable shards.
+    """
     sh = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and v.ndim >= 1:
-            out[k] = jax.device_put(v, sh)
+            if process_local and jax.process_count() > 1:
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, np.asarray(v)
+                )
+            else:
+                out[k] = jax.device_put(v, sh)
         else:
             out[k] = v
     return out

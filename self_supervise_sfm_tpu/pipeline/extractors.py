@@ -149,7 +149,13 @@ def superpoint_keypoints(
     if image.ndim == 3:
         image = image @ jnp.asarray([0.299, 0.587, 0.114], image.dtype)
     H, W = image.shape
-    scores, desc = superpoint_dense(p, image[None])
+    # the VGG encoder's 8x downsampling floors non-multiple-of-8 dims (e.g.
+    # the standard 518px frames): zero-pad up, crop the score map back
+    H8, W8 = -(-H // 8) * 8, -(-W // 8) * 8
+    padded = image
+    if (H8, W8) != (H, W):
+        padded = jnp.pad(image, ((0, H8 - H), (0, W8 - W)))
+    scores, desc = superpoint_dense(p, padded[None])
     scores = simple_nms(scores, cfg.nms_radius)[0, :H, :W]
     b = cfg.remove_borders
     mask = jnp.zeros((H, W), bool).at[b:-b, b:-b].set(True)

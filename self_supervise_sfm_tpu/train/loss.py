@@ -50,6 +50,7 @@ def _masked_mean(x: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.sum(x * w) / (jnp.sum(w) + 1e-10)
 
 
+@G.f32_matmul
 def scene_residuals(
     extrinsic: jax.Array,  # (S, 3, 4) predicted, in processed (518) space
     intrinsic: jax.Array,  # (S, 3, 3) predicted, processed space
@@ -152,6 +153,6 @@ def scene_loss(
         "loss_cdf_exact": loss_exact,
         "loss_cdf_approx": loss_approx,
         "mean_px_residual": _masked_mean(residuals, weights),
-        "median_log_residual": _masked_mean(res_log, weights),
+        "mean_log_residual": _masked_mean(res_log, weights),
     }
     return total, metrics

@@ -85,21 +85,44 @@ class TrainerConfig:
 
 
 def scene_stream(
-    ds: IMC2021Scenes, num_data: int, seed: int, prefetch: int
+    ds: IMC2021Scenes, slots, seed: int, prefetch: int
 ) -> Iterator[dict]:
-    """Background-threaded scene loader -> stacked host batches."""
+    """Background-threaded scene loader -> stacked host batches.
+
+    ``slots``: the global batch positions this process serves. Slot ``s`` of
+    step ``t`` draws from an rng seeded by (seed, t, s), so the global batch
+    is identical no matter how the slots are partitioned across processes —
+    each host loads only its own data-axis slice (the reference instead
+    replicates loading via DistributedSampler-free full iteration).
+    """
+    slots = list(slots)
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
     def worker():
-        rng = np.random.default_rng(seed)
+        t = 0
         while not stop.is_set():
-            idxs = rng.choice(len(ds), size=num_data, replace=len(ds) < num_data)
-            scenes = [ds.load_scene(int(i), rng) for i in idxs]
-            q.put(stack_scenes(scenes))
+            scenes = []
+            for s in slots:
+                rng = np.random.default_rng(
+                    np.random.SeedSequence((seed, t, s))
+                )
+                idx = int(rng.integers(len(ds)))
+                scenes.append(ds.load_scene(idx, rng))
+            batch = stack_scenes(scenes)
+            # bounded put that re-checks stop: a bare q.put blocks forever on
+            # a full queue, so the thread would keep decoding (and hold the
+            # dataset) after training ends
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    pass
+            t += 1
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    t_ = threading.Thread(target=worker, daemon=True)
+    t_.start()
     try:
         while True:
             yield q.get()
@@ -116,17 +139,17 @@ def _cdf_stats_jit():
     return jax.jit(scene_cdf_statistics, static_argnums=3)
 
 
-def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fn, key):
+def dump_artifacts(step, preds, tcfg, batch, results_dir):
     """Every-N-step artifact dumps (PLY + KITTI + CDF/PDF curves + sanity
     overlay), matching the reference's checkpoint-interval dumps
-    (``train_imc.py:399-426``). ``eval_fn`` returns host predictions."""
+    (``train_imc.py:399-426``). ``preds``: host predictions for scene 0
+    (shared with the sanity check so the diagnostics forward runs once)."""
     from ..utils import export as EX
     from ..utils.sanity_check import sanity_check_relative_poses
     from ..utils.vls import plot_cdf_pdf_curves
 
     out_dir = os.path.join(results_dir, "vls", f"step_{step}")
     os.makedirs(out_dir, exist_ok=True)
-    preds = eval_fn(params, batch["images"][:1], key)
     per_view = []
     S = batch["images"].shape[1]
     for i in range(S):
@@ -155,8 +178,11 @@ def dump_artifacts(step, params, model_cfg, tcfg, batch, results_dir, eval_fn, k
             lcfg.min_val, lcfg.max_val, lcfg.num_bins,
             os.path.join(out_dir, f"cdf_pdf_{name}.png"),
         )
+    # annotated correspondence overlay (the reference's sanity-check artifact,
+    # sanity_check.py:195-281); metrics come from the loop's sanity branch
     m = sanity_check_relative_poses(
-        np.asarray(preds["extrinsic"][0]), np.asarray(preds["intrinsic"][0]), scene0
+        np.asarray(preds["extrinsic"][0]), np.asarray(preds["intrinsic"][0]),
+        scene0, save_path=os.path.join(out_dir, "sanity_overlay.png"),
     )
     return m
 
@@ -261,9 +287,21 @@ def run(cfg: TrainerConfig):
         target_size=cfg.img_size, use_native=cfg.native_loader,
     )
     print(f"dataset: {len(ds)} scenes (native_loader={ds.use_native})")
-    batches = scene_stream(
-        ds, num_data * cfg.scenes_per_step_per_device, cfg.seed, cfg.prefetch
-    )
+    # multi-host: each process loads only its own contiguous block of the
+    # data-axis batch slots (the decode/sampling host work is the expensive
+    # part the native loader accelerates — replicating it N-fold across
+    # hosts makes the host feed the bottleneck at exactly the scale the mesh
+    # targets); falls back to replicated loading when slots don't divide
+    total_slots = num_data * cfg.scenes_per_step_per_device
+    nproc = jax.process_count()
+    if nproc > 1 and total_slots % nproc == 0:
+        per = total_slots // nproc
+        slots = range(jax.process_index() * per, (jax.process_index() + 1) * per)
+        process_local_batch = True
+    else:
+        slots = range(total_slots)
+        process_local_batch = False
+    batches = scene_stream(ds, slots, cfg.seed, cfg.prefetch)
 
     # metrics / artifact dumps are primary-process-only, matching the
     # reference's rank-0 SummaryWriter + dumps (train_imc.py:396-426);
@@ -348,7 +386,7 @@ def run(cfg: TrainerConfig):
             host_batch = next(batches)
             batch = Sh.shard_batch(
                 {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)},
-                mesh,
+                mesh, process_local=process_local_batch,
             )
             with jax.profiler.StepTraceAnnotation("train", step_num=step):
                 state, metrics = step_fn(state, batch)
@@ -377,17 +415,20 @@ def run(cfg: TrainerConfig):
                 cfg.artifact_every and step % cfg.artifact_every == 0
             )
             if do_sanity or do_artifacts:
-                # collective (all processes), then primary-only consumption
+                # collective (all processes), then primary-only consumption;
+                # ONE diagnostics forward shared by the sanity check and the
+                # artifact dump (they coincide at every artifact step)
                 dparams = diag_params(state["params"])
+                if is_primary:
+                    preds = eval_local(
+                        dparams, host_batch["images"][:1],
+                        jax.random.fold_in(state["key"], step),
+                    )
+                    scene0 = {k: np.asarray(v[0]) for k, v in host_batch.items()
+                              if isinstance(v, np.ndarray)}
             if is_primary and do_sanity:
-                preds = eval_local(
-                    dparams, host_batch["images"][:1],
-                    jax.random.fold_in(state["key"], step),
-                )
                 from ..utils.sanity_check import sanity_check_relative_poses
 
-                scene0 = {k: np.asarray(v[0]) for k, v in host_batch.items()
-                          if isinstance(v, np.ndarray)}
                 m = sanity_check_relative_poses(
                     np.asarray(preds["extrinsic"][0]),
                     np.asarray(preds["intrinsic"][0]), scene0,
@@ -395,9 +436,7 @@ def run(cfg: TrainerConfig):
                 writer.write(step, m := {k: v for k, v in m.items() if k != "pair"},
                              prefix="sanity")
             if is_primary and do_artifacts:
-                dump_artifacts(step, dparams, model_cfg, tcfg, host_batch,
-                               cfg.results_dir, eval_local,
-                               jax.random.fold_in(state["key"], step))
+                dump_artifacts(step, preds, tcfg, host_batch, cfg.results_dir)
             if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
                 save_state(step)
     save_state(step)

@@ -12,7 +12,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
-from ..data.preprocess import preprocess_image
+from ..data.preprocess import _pad_resize_params, preprocess_image
 
 
 def load_and_preprocess_images_square(
@@ -34,10 +34,8 @@ def load_and_preprocess_images_square(
             img = Image.alpha_composite(bg, img)
         img = img.convert("RGB")
         w, h = img.size
-        max_dim = max(w, h)
-        left = (max_dim - w) // 2
-        top = (max_dim - h) // 2
-        scale = target_size / max_dim
+        # same transform parameters as preprocess_image, from one source
+        _, left, top, scale = _pad_resize_params(w, h, target_size)
         x1, y1 = left * scale, top * scale
         x2, y2 = (left + w) * scale, (top + h) * scale
         arr, _, _ = preprocess_image(img, target_size, is_depth=False)

@@ -61,8 +61,7 @@ def sanity_check_relative_poses(
         correspondence_overlay(
             scene["images"][si],
             scene["images"][di],
-            scene["K_to_K_prime"][si] @ np.array([0, 0, 1.0]) * 0  # placeholder grid
-            + scene["src_coords"][p],
+            scene["src_coords"][p],
             scene["dst_coords"][p],
             np.asarray(pred_dst)[0],
             save_path=save_path,

@@ -131,3 +131,19 @@ class TestZoo:
     def test_unknown_method_raises(self):
         with pytest.raises(ValueError, match="unknown extractor"):
             E.initialize_feature_extractors("r2d2")
+
+
+def test_superpoint_non_multiple_of_8(rng):
+    """The standard 518px frames are not a multiple of the VGG encoder's 8x
+    stride; the input must be padded up and the score map cropped back
+    (previously crashed with a broadcast error)."""
+    import jax
+    import jax.numpy as jnp
+
+    from self_supervise_sfm_tpu.pipeline import extractors as E
+
+    p = jax.jit(lambda k: E.init_superpoint(k))(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.uniform(size=(70, 66)).astype(np.float32))
+    xy, score, desc = E.superpoint_keypoints(p, img, max_pts=32)
+    assert xy.shape == (32, 2) and desc.shape[0] == 32
+    assert np.all(np.asarray(xy)[:, 0] < 66) and np.all(np.asarray(xy)[:, 1] < 70)
