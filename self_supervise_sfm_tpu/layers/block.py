@@ -1,10 +1,12 @@
 """Pre-LN transformer block: Attn+LayerScale residual, MLP+LayerScale residual.
 
 Functional re-design of ``sailrecon/layers/block.py`` (Block). Stochastic
-depth / drop-path are omitted: every configuration the reference instantiates
-uses ``drop_path=0`` (``models/aggregator.py:99-149``, DINOv2 built with
-``drop_path_rate=0.0``), so the only training-time regulariser in play is the
-rank-subsampling of scene tokens.
+depth / drop-path (``layers/drop_path.py:14-36``) is available behind
+``BlockConfig.drop_path`` + a ``drop_key`` but no flagship configuration
+enables it: every config the reference instantiates uses ``drop_path=0``
+(``models/aggregator.py:99-149``, DINOv2 built with ``drop_path_rate=0.0``),
+so the only training-time regulariser in play is the rank-subsampling of
+scene tokens.
 """
 
 from __future__ import annotations
@@ -35,6 +37,10 @@ class BlockConfig:
     fused_qkv: str = "auto"
     # MLP fusion (LN2+fc1+gelu / fc2+ls+residual kernels), same tri-state.
     fused_mlp: str = "auto"
+    # Stochastic depth rate (reference ``layers/drop_path.py:14-36``). Takes
+    # effect only when ``block()`` is also given a ``drop_key`` (training);
+    # no reference config enables it (``aggregator.py:99-149`` all pass 0).
+    drop_path: float = 0.0
 
     @property
     def attn(self) -> AttentionConfig:
@@ -68,6 +74,22 @@ def init_block(key, cfg: BlockConfig):
 
 def mlp(p, x):
     return P.linear(p["fc2"], P.gelu(P.linear(p["fc1"], x)))
+
+
+def drop_path_mask(key, x: jax.Array, rate: float) -> jax.Array:
+    """Per-sample stochastic-depth mask, pre-scaled by 1/keep_prob.
+
+    Semantics of the reference ``drop_path`` (``layers/drop_path.py:14-25``):
+    Bernoulli(keep) per leading-axis sample, broadcast over all other axes,
+    scaled so the residual branch is unbiased in expectation. The reference's
+    exact-count gather variant (``block.py:115-144``, used when rate > 0.1)
+    is a GPU-side variance reduction; on TPU the mask form stays fused into
+    the residual add, so we use it for every rate.
+    """
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    m = jax.random.bernoulli(key, keep, shape)
+    return m.astype(x.dtype) / jnp.asarray(keep, x.dtype)
 
 
 def _fused_qkv_applicable(p, cfg: BlockConfig, x, rope_cos_sin) -> bool:
@@ -228,7 +250,23 @@ def block(
     rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
     mask: Optional[jax.Array] = None,
     extra_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    drop_key: Optional[jax.Array] = None,
 ) -> jax.Array:
+    if cfg.drop_path > 0.0 and drop_key is not None:
+        # stochastic-depth path (training only; plain residuals so the
+        # per-sample mask multiplies the branch, reference block.py:107-108 —
+        # which reuses drop_path1's *rate* for both branches but draws fresh
+        # Bernoulli noise per call, hence two independent keys here)
+        from .attention import _merge_heads
+
+        k1, k2 = jax.random.split(drop_key)
+        q, k, v = qkv_parts(p, x, cfg, rope_cos_sin)
+        o = attention_heads_out(p["attn"], q, k, v, cfg.attn, mask, extra_kv)
+        attn_res = P.layer_scale(p["ls1"], P.linear(p["attn"]["proj"], _merge_heads(o)))
+        x = x + drop_path_mask(k1, x, cfg.drop_path) * attn_res
+        h = P.layer_norm(p["norm2"], x, cfg.ln_eps)
+        mlp_res = P.layer_scale(p["ls2"], mlp(p["mlp"], h))
+        return x + drop_path_mask(k2, x, cfg.drop_path) * mlp_res
     # composed from the two halves so the fused-kernel gating lives in ONE
     # place (qkv_parts / attn_out_mlp) for every block variant
     q, k, v = qkv_parts(p, x, cfg, rope_cos_sin)
