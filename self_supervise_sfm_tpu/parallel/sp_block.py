@@ -35,6 +35,7 @@ the inverted permutation (validated in ``tests/test_sp_block.py``).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Tuple
 
@@ -52,7 +53,29 @@ from ..layers.block import (
 from .sharding import CONTEXT_AXIS, DATA_AXIS, MODEL_AXIS, activate_mesh, active_mesh
 
 
+# Validation hook: when True, the shard_map paths stay engaged even when every
+# mesh axis has extent 1. A 1-device TPU mesh then executes the exact
+# shard_map + Pallas programs a pod would run per device (ring of length 1,
+# collective-free frame/reloc bodies) — the only way to have Mosaic compile
+# the shard_map'd kernels on the single available chip
+# (tools/tpu_spblock_check.py).
+_FORCE_SINGLE_DEVICE_SPMD = False
+
+
+@contextlib.contextmanager
+def force_single_device_spmd():
+    global _FORCE_SINGLE_DEVICE_SPMD
+    prev = _FORCE_SINGLE_DEVICE_SPMD
+    _FORCE_SINGLE_DEVICE_SPMD = True
+    try:
+        yield
+    finally:
+        _FORCE_SINGLE_DEVICE_SPMD = prev
+
+
 def _axes_over(mesh, axes) -> Tuple[str, ...]:
+    if _FORCE_SINGLE_DEVICE_SPMD:
+        return tuple(a for a in axes if a in mesh.shape)
     return tuple(a for a in axes if mesh.shape.get(a, 1) > 1)
 
 
@@ -67,7 +90,7 @@ def _frames_shardable(n_frames: int, mesh, axes) -> bool:
     if mesh is None or mesh.shape.get(MODEL_AXIS, 1) > 1:
         return False
     n = _extent(mesh, _axes_over(mesh, axes))
-    return n > 1 and n_frames % n == 0
+    return (n > 1 or _FORCE_SINGLE_DEVICE_SPMD) and n_frames % n == 0
 
 
 def _spec1(axes: Tuple[str, ...], ndim: int) -> P:
@@ -353,7 +376,8 @@ def reloc_block_sharded(
     if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) == 1:
         nd = mesh.shape.get(DATA_AXIS, 1)
         nc = mesh.shape.get(CONTEXT_AXIS, 1)
-        if nd * nc > 1 and B % nd == 0 and BF % (nd * nc) == 0:
+        if ((nd * nc > 1 or _FORCE_SINGLE_DEVICE_SPMD)
+                and B % nd == 0 and BF % (nd * nc) == 0):
             # each device's frame chunk must land on the scene(s) whose
             # context it holds: whole scenes per device (nc == 1), or frames
             # of exactly one scene split over context (B == nd)
@@ -422,7 +446,7 @@ def global_block_ring(
     nm = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
     if (
         mesh is None
-        or nctx == 1
+        or (nctx == 1 and not _FORCE_SINGLE_DEVICE_SPMD)
         or x.shape[1] % nctx != 0
         or (nm > 1 and not _tp_divides(cfg, nm))
     ):
