@@ -95,7 +95,113 @@ def make_reloc_fns(M, cfg, rank: int, iters: int):
     return build, reloc_loop
 
 
-def main():
+def bench_train(out: dict) -> None:
+    """Self-supervised fine-tuning step benchmark (one chip).
+
+    The reference fine-tunes the FULL 1.49 B-param model with Adam
+    (``train/train_imc.py:475``, 2 frames/scene at 518px, ``:552``); the
+    fp32 train state alone is ~18 GB, and the AOT probe
+    (``tools/train_memory_probe.py``) measures the whole step at 22.4 GB —
+    over one v5e chip's 15.75 GB HBM even with remat + bf16 first moment.
+    Flagship training is therefore an FSDP job (>= 2 chips; per-device
+    footprint validated by ``__graft_entry__.flagship_fsdp_memory``).
+
+    What one chip CAN measure honestly is per-chip training *throughput* at
+    the largest fitting configuration: the same ViT-L blocks and heads at
+    half depth (12 aggregator + 12 ViT layers, 750 M params, ~12.5 GB
+    step footprint). Per-layer compute is identical to the flagship, so the
+    reported train MFU transfers; steps/s does not (half the layers).
+    """
+    import numpy as np
+
+    from self_supervise_sfm_tpu.data.imc2021 import IMC2021Scenes, stack_scenes
+    from self_supervise_sfm_tpu.data.synthetic import make_synthetic_dataset
+    from self_supervise_sfm_tpu.models import sailrecon as M
+    from self_supervise_sfm_tpu.train import loop as L
+    import tempfile
+
+    S = 2  # frames per scene (train_imc.py:552)
+    DEPTH = 12
+    mcfg = M.make_config(
+        compute_dtype="bfloat16", remat=True, depth=DEPTH, vit_depth=DEPTH,
+        intermediate_layer_idx=(2, 5, 8, 11),
+    )
+    tcfg = L.TrainConfig(rank=RANK, num_images=S, adam_mu_dtype="bfloat16")
+
+    with tempfile.TemporaryDirectory() as root:
+        make_synthetic_dataset(root, num_scenes=1, num_images=S,
+                               image_size=(640, 480))
+        ds = IMC2021Scenes(root, sample_num=10000, num_images=S,
+                           target_size=IMG)
+        batch_np = stack_scenes([ds.load_scene(0, np.random.default_rng(0))])
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if isinstance(v, np.ndarray)}
+
+    state = jax.jit(
+        lambda k: L.init_train_state(k, mcfg, tcfg)
+    )(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(a.shape))
+                   for a in jax.tree.leaves(state["params"]))
+
+    step_fn = L.make_train_step(mcfg, tcfg, jit_compile=False)
+    TITERS = 3
+
+    def chain(state, batch):
+        # TITERS optimizer steps inside ONE jit: the ~30 ms remote-dispatch
+        # RTT is paid per measurement, not per step
+        def body(_, carry):
+            st, _ = carry
+            return step_fn(st, batch)
+
+        return jax.lax.fori_loop(
+            0, TITERS, body, step_fn(state, batch), unroll=False
+        )
+
+    jchain = jax.jit(chain, donate_argnums=(0,))
+
+    import time as _t
+
+    t0 = _t.perf_counter()
+    state, metrics = jchain(state, batch)
+    first = float(metrics["loss"])  # sync: compile + first chain
+    compile_s = _t.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        state, metrics = jchain(state, batch)
+        loss = float(metrics["loss"])
+        times.append((_t.perf_counter() - t0) / (TITERS + 1))
+    dt = float(np.median(times))
+
+    P = (IMG // 14) ** 2 + 5
+    # fwd FLOPs: S anchors + S queries (duplicated layout); bwd ~= 2x fwd.
+    # Remat recompute is excluded (standard MFU convention counts useful
+    # FLOPs), making this a conservative utilisation number.
+    fwd = trunk_flops_analytic(S, P, 1024, DEPTH, RANK)
+    tf = 3.0 * fwd
+    out["train"] = {
+        "step_seconds": round(dt, 4),
+        "steps_per_sec": round(1.0 / dt, 3),
+        "scenes_per_sec": round(1.0 / dt, 3),
+        "compile_plus_first_chain_seconds": round(compile_s, 1),
+        "loss_first": round(first, 4),
+        "loss_after": round(loss, 4),
+        "train_tflops": round(tf / dt / 1e12, 1),
+        "train_mfu": round(tf / dt / PEAK_BF16_FLOPS, 4),
+        "config": {
+            "depth": DEPTH, "frames": S, "img": IMG, "rank": RANK,
+            "params_m": round(n_params / 1e6),
+            "note": (
+                "largest single-chip-fitting config; flagship (depth 24, "
+                "1.49B params) needs 22.4 GB > 15.75 GB HBM with full Adam "
+                "(see tools/train_memory_probe.py) and trains via FSDP"
+            ),
+        },
+    }
+
+
+def bench_inference() -> dict:
     from self_supervise_sfm_tpu.models import sailrecon as M
 
     dev = jax.devices()[0]
@@ -201,6 +307,20 @@ def main():
         out["reloc_frames_per_sec"] = round(NUM_FRAMES / rdt, 3)
         out["reloc_step_seconds"] = round(rdt, 4)
         out["cache_build_first_call_seconds"] = round(build_s, 1)
+
+    return out
+
+
+def main():
+    # inference benches run inside a function so their device buffers
+    # (bf16 params, scene cache) are garbage-collected before the train
+    # bench allocates its ~12 GB step — sharing them OOMs the chip
+    out = bench_inference()
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        import gc
+
+        gc.collect()
+        bench_train(out)
 
     print(json.dumps(out))
 

@@ -139,9 +139,12 @@ def _loss_fn(params, model_cfg, train_cfg, batch, key):
     return jnp.mean(losses), metrics
 
 
-def make_train_step(model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
+def make_train_step(model_cfg: M.SailReconConfig, train_cfg: TrainConfig,
+                    jit_compile: bool = True):
     """Build the jitted train step. Call under ``Sh.activate_mesh(mesh)`` (or
-    without a mesh for single-device)."""
+    without a mesh for single-device). ``jit_compile=False`` returns the raw
+    step function for callers that chain steps inside one jit themselves
+    (bench.py: the remote-TPU tunnel charges ~30 ms dispatch RTT per call)."""
     optimizer = make_optimizer(train_cfg)
 
     def step_fn(state, batch):
@@ -180,6 +183,8 @@ def make_train_step(model_cfg: M.SailReconConfig, train_cfg: TrainConfig):
         }
         return new_state, metrics
 
+    if not jit_compile:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,))
 
 

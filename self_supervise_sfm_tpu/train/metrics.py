@@ -14,8 +14,12 @@ from typing import Dict, Optional
 class MetricsWriter:
     def __init__(self, log_dir: Optional[str] = None, console_every: int = 10):
         self._tb = None
+        self._jsonl = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
+            # always-on machine-readable curve (loss/offset over steps);
+            # TensorBoard is optional sugar on top
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             try:
                 from tensorboardX import SummaryWriter
 
@@ -33,6 +37,13 @@ class MetricsWriter:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+        if self._jsonl is not None:
+            import json
+
+            self._jsonl.write(json.dumps(
+                {"step": step, "prefix": prefix,
+                 **{k: float(v) for k, v in scalars.items()}}) + "\n")
+            self._jsonl.flush()
         if self.console_every and step % self.console_every == 0:
             msg = " ".join(f"{k}={float(v):.5g}" for k, v in scalars.items())
             print(f"[{prefix} {step}] {msg}", flush=True)
@@ -40,3 +51,5 @@ class MetricsWriter:
     def close(self):
         if self._tb is not None:
             self._tb.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
