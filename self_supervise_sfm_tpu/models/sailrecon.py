@@ -314,3 +314,53 @@ def reloc(
             (cnf[..., None] > thresholds).astype(jnp.float32), axis=(2, 3)
         )  # (B, Q, num_thresholds)
     return preds
+
+
+def reloc_chunked(
+    p,
+    cfg: SailReconConfig,
+    cache,
+    cam_token_last_layer: jax.Array,
+    images: jax.Array,
+    chunk: int = 4,
+    fast_reloc: bool = False,
+) -> Dict[str, jax.Array]:
+    """:func:`reloc` over query chunks — the ``memory_save`` equivalent.
+
+    The reference bounds reloc memory by looping python-side over per-frame
+    chunks with CPU-offloaded caches (``sail_recon.py:245-253``,
+    ``demo_imc.py:97-107``). On TPU the equivalent is a ``lax.map`` over
+    fixed-size query chunks inside ONE jitted program: peak activation /
+    head-decode memory is that of ``chunk`` frames instead of Q, the scene
+    cache stays resident in HBM, and the chunk loop is sequential on-device
+    (no host round-trips). Q is padded up to a multiple of ``chunk``; padded
+    frames are dropped from every output. On a single v5e chip the full-head
+    decode is the reloc memory ceiling (~0.66 GB/frame of fp32 DPT
+    activations at 518px): chunked reloc holds S_max at ~40 GB-scale query
+    sets where the unchunked batched call would OOM.
+    """
+    B, Q = images.shape[0], images.shape[1]
+    nchunk = -(-Q // chunk)
+    pad = nchunk * chunk - Q
+    imgs = jnp.pad(images, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+    # (nchunk, B, chunk, H, W, 3): lax.map carries one chunk at a time
+    imgs = imgs.reshape(B, nchunk, chunk, *images.shape[2:]).transpose(
+        1, 0, 2, 3, 4, 5
+    )
+
+    def one(chunk_imgs):
+        return reloc(p, cfg, cache, cam_token_last_layer, chunk_imgs,
+                     fast_reloc=fast_reloc)
+
+    stacked = jax.lax.map(one, imgs)  # leaves: (nchunk, B, chunk, ...)
+
+    def unfold(a):
+        if a.ndim < 3:
+            return a
+        a = a.transpose(1, 0, 2, *range(3, a.ndim))  # (B, nchunk, chunk, ...)
+        a = a.reshape(B, nchunk * chunk, *a.shape[3:])
+        return a[:, :Q]
+
+    out = {k: unfold(v) if k != "pose_enc_list" else [unfold(x) for x in v]
+           for k, v in stacked.items()}
+    return out

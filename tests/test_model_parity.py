@@ -308,3 +308,31 @@ class TestDuplicatedForward:
                 np.asarray(a[name], np.float32), np.asarray(b[name], np.float32),
                 rtol=2e-4, atol=1e-4, err_msg=name,
             )
+
+
+class TestRelocChunked:
+    def test_chunked_matches_batched(self, rng):
+        """reloc_chunked (the memory_save equivalent) == batched reloc,
+        including the Q % chunk != 0 padding path."""
+        import jax
+        from self_supervise_sfm_tpu.models import sailrecon as SM
+
+        cfg = SM.make_config(
+            img_size=IMG, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+            intermediate_layer_idx=(0, 1, 2, 3), attn_impl="dense",
+        )
+        p = SM.init_sailrecon(jax.random.PRNGKey(0), cfg)
+        anchors = jnp.asarray(rng.uniform(size=(1, 2, IMG, IMG, 3)).astype(np.float32))
+        queries = jnp.asarray(rng.uniform(size=(1, 5, IMG, IMG, 3)).astype(np.float32))
+        cache, cam_tok = SM.build_scene_cache(
+            p, cfg, anchors, rank=2, subsample_key=jax.random.PRNGKey(2))
+        full = SM.reloc(p, cfg, cache, cam_tok, queries)
+        chunked = SM.reloc_chunked(p, cfg, cache, cam_tok, queries, chunk=2)
+        assert set(chunked.keys()) == set(full.keys())
+        for name in ("extrinsic", "intrinsic", "depth_map", "point_map",
+                     "xyz_cnf", "xyz_conf_fractions"):
+            np.testing.assert_allclose(
+                np.asarray(chunked[name], np.float32),
+                np.asarray(full[name], np.float32),
+                rtol=2e-4, atol=1e-4, err_msg=name,
+            )
