@@ -29,6 +29,7 @@
 //
 // Exposed as a plain C ABI for ctypes. No external dependencies.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -259,15 +260,13 @@ double shard_cost(const Shard& sh, const double* cam, const double* pts) {
   return cost;
 }
 
-// Linearize at (cam, current pts) and ACCUMULATE this shard's contribution
-// into the shared reduced system: S += S_w, rhs += rhs_w. Point damping
-// (worker-local) uses `lambda`; the caller adds the camera damping lambda*I
-// ONCE to the reduced diagonal after summing shards. Returns the shard cost
-// at the linearization point.
-double shard_linearize(Shard& sh, const double* cam, double lambda,
-                       double* S, double* rhs) {
+// Phase A of a linearization (representation-independent): per-observation
+// jacobians/residuals with Huber IRLS, the per-point V blocks, bp, and
+// V^-1. Fills sh.{Jc_all, Jp_all, r_all, Vinv, bp}; returns the cost at the
+// linearization point. The caller scatters U/W into its chosen reduced-
+// system representation (dense 6Cx6C, or block-CSR for the PCG path).
+double linearize_point_blocks(Shard& sh, const double* cam, double lambda) {
   const int C = sh.C, P = sh.P, O = sh.O;
-  const int n = 6 * C;
   build_R_cache(cam, C, sh.Rcache);
 
   sh.Jc_all.assign(O * 12, 0.0);
@@ -278,7 +277,7 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
   std::vector<double> Vp(P * 9, 0.0);
   double cost = 0;
 
-  // phase A (parallel): per-observation jacobians/residuals + cost — the
+  // parallel: per-observation jacobians/residuals + cost — the
   // transcendental-heavy part; writes are disjoint per observation
 #ifdef _OPENMP
 #pragma omp parallel for reduction(+ : cost) schedule(static) \
@@ -307,18 +306,11 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
     std::memcpy(&sh.Jp_all[o * 6], Jp, sizeof(Jp));
     sh.r_all[o * 2] = r[0]; sh.r_all[o * 2 + 1] = r[1];
   }
-  // phase B (serial, cheap): scatter-accumulate into the shared system
+  // serial, cheap: point-block accumulation
   for (int o = 0; o < O; o++) {
-    const double* Jc = &sh.Jc_all[o * 12];
     const double* Jp = &sh.Jp_all[o * 6];
     const double r0 = sh.r_all[o * 2], r1 = sh.r_all[o * 2 + 1];
-    int c = sh.cam_idx[o], p = sh.pt_idx[o];
-    // U blocks go straight into the shared S diagonal
-    for (int i = 0; i < 6; i++) {
-      for (int j = 0; j < 6; j++)
-        S[(c * 6 + i) * n + c * 6 + j] += Jc[i] * Jc[j] + Jc[6 + i] * Jc[6 + j];
-      rhs[c * 6 + i] -= Jc[i] * r0 + Jc[6 + i] * r1;
-    }
+    int p = sh.pt_idx[o];
     for (int i = 0; i < 3; i++) {
       for (int j = 0; j < 3; j++)
         Vp[p * 9 + i * 3 + j] += Jp[i] * Jp[j] + Jp[3 + i] * Jp[3 + j];
@@ -332,6 +324,31 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
     for (int i = 0; i < 3; i++) Vl[i * 3 + i] += lambda + 1e-12;
     if (!inv3(Vl, &sh.Vinv[p * 9])) {
       std::memset(&sh.Vinv[p * 9], 0, 9 * sizeof(double));
+    }
+  }
+  return cost;
+}
+
+// Linearize at (cam, current pts) and ACCUMULATE this shard's contribution
+// into the shared reduced system: S += S_w, rhs += rhs_w. Point damping
+// (worker-local) uses `lambda`; the caller adds the camera damping lambda*I
+// ONCE to the reduced diagonal after summing shards. Returns the shard cost
+// at the linearization point.
+double shard_linearize(Shard& sh, const double* cam, double lambda,
+                       double* S, double* rhs) {
+  const int C = sh.C, P = sh.P, O = sh.O;
+  const int n = 6 * C;
+  double cost = linearize_point_blocks(sh, cam, lambda);
+
+  // U blocks go straight into the shared S diagonal
+  for (int o = 0; o < O; o++) {
+    const double* Jc = &sh.Jc_all[o * 12];
+    const double r0 = sh.r_all[o * 2], r1 = sh.r_all[o * 2 + 1];
+    int c = sh.cam_idx[o];
+    for (int i = 0; i < 6; i++) {
+      for (int j = 0; j < 6; j++)
+        S[(c * 6 + i) * n + c * 6 + j] += Jc[i] * Jc[j] + Jc[6 + i] * Jc[6 + j];
+      rhs[c * 6 + i] -= Jc[i] * r0 + Jc[6 + i] * r1;
     }
   }
 
@@ -417,6 +434,275 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
     }
   }
   return cost;
+}
+
+// ---------------------------------------------------------------------------
+// Block-sparse reduced system + preconditioned CG (large-C scenes).
+//
+// The dense path assembles the full 6C x 6C Schur complement — O(C^2) memory
+// and an O(C^3) Cholesky, fine for IMC-scale scenes (tens of cameras) but
+// wrong for COLMAP-scale ones (the capability pycolmap gives the reference,
+// dependency/np_to_pycolmap.py). At large C the reduced system is sparse:
+// block (a, b) is nonzero only if cameras a and b co-observe a point. This
+// path stores S as block-CSR of 6x6 blocks over the covisibility pattern and
+// solves with block-Jacobi-preconditioned CG — O(nnz) memory, O(nnz * iters)
+// time.
+// ---------------------------------------------------------------------------
+
+struct BlockS {
+  int C = 0;
+  std::vector<int> row_start;  // C+1
+  std::vector<int> col;        // nnz, sorted within each row
+  std::vector<double> blk;     // nnz * 36, row-major 6x6 each
+
+  int find(int r, int c) const {
+    int lo = row_start[r], hi = row_start[r + 1];
+    while (lo < hi) {
+      int mid = (lo + hi) / 2;
+      if (col[mid] < c) lo = mid + 1; else hi = mid;
+    }
+    return (lo < row_start[r + 1] && col[lo] == c) ? lo : -1;
+  }
+};
+
+// Covisibility pattern from the shard's per-point camera lists (both (a,b)
+// orders plus every diagonal block).
+void build_pattern(const Shard& sh, BlockS& S) {
+  const int C = sh.C;
+  std::vector<std::vector<int>> rows(C);
+  for (int c = 0; c < C; c++) rows[c].push_back(c);
+  for (int p = 0; p < sh.P; p++) {
+    int k0 = sh.pt_start[p], k1 = sh.pt_start[p + 1];
+    for (int a = k0; a < k1; a++)
+      for (int b = k0; b < k1; b++) {
+        int ca = sh.cam_idx[sh.pt_obs[a]], cb = sh.cam_idx[sh.pt_obs[b]];
+        rows[ca].push_back(cb);
+      }
+  }
+  S.C = C;
+  S.row_start.assign(C + 1, 0);
+  S.col.clear();
+  for (int c = 0; c < C; c++) {
+    auto& r = rows[c];
+    std::sort(r.begin(), r.end());
+    r.erase(std::unique(r.begin(), r.end()), r.end());
+    S.row_start[c + 1] = S.row_start[c] + (int)r.size();
+    S.col.insert(S.col.end(), r.begin(), r.end());
+  }
+  S.blk.assign(size_t(S.row_start[C]) * 36, 0.0);
+}
+
+// Sparse counterpart of shard_linearize: same math, block-CSR accumulation.
+double shard_linearize_sparse(Shard& sh, const double* cam, double lambda,
+                              BlockS& S, double* rhs) {
+  const int P = sh.P, O = sh.O;
+  double cost = linearize_point_blocks(sh, cam, lambda);
+  std::fill(S.blk.begin(), S.blk.end(), 0.0);
+
+  // U blocks + rhs (serial, disjoint per camera diag block)
+  for (int o = 0; o < O; o++) {
+    const double* Jc = &sh.Jc_all[o * 12];
+    const double r0 = sh.r_all[o * 2], r1 = sh.r_all[o * 2 + 1];
+    int c = sh.cam_idx[o];
+    double* D = &S.blk[size_t(S.find(c, c)) * 36];
+    for (int i = 0; i < 6; i++) {
+      for (int j = 0; j < 6; j++)
+        D[i * 6 + j] += Jc[i] * Jc[j] + Jc[6 + i] * Jc[6 + j];
+      rhs[c * 6 + i] -= Jc[i] * r0 + Jc[6 + i] * r1;
+    }
+  }
+
+  // Schur: per point, S(ca,cb) -= W_a V^-1 W_b^T; rhs += W V^-1 bp.
+  // Parallel over points with per-thread block/rhs accumulators.
+  const size_t nnz36 = S.blk.size();
+  const int n = 6 * sh.C;
+  const int nthreads = thread_count(nnz36 * 8 + size_t(n) * 8);
+  std::vector<double> blk_t, rhs_t;
+  if (nthreads > 1) {
+    blk_t.assign(size_t(nthreads) * nnz36, 0.0);
+    rhs_t.assign(size_t(nthreads) * n, 0.0);
+  }
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthreads) if (nthreads > 1)
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = nthreads > 1 ? omp_get_thread_num() : 0;
+#else
+    const int tid = 0;
+#endif
+    double* Bl = nthreads > 1 ? &blk_t[size_t(tid) * nnz36] : S.blk.data();
+    double* rl = nthreads > 1 ? &rhs_t[size_t(tid) * n] : rhs;
+    std::vector<double> Wblk;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int p = 0; p < P; p++) {
+      int k0 = sh.pt_start[p], k1 = sh.pt_start[p + 1];
+      int kp = k1 - k0;
+      if (kp == 0) continue;
+      Wblk.assign(kp * 18, 0.0);
+      const double* Vi = &sh.Vinv[p * 9];
+      const double* bpp = &sh.bp[p * 3];
+      double Vb[3];
+      for (int i = 0; i < 3; i++)
+        Vb[i] = Vi[i * 3] * bpp[0] + Vi[i * 3 + 1] * bpp[1] + Vi[i * 3 + 2] * bpp[2];
+      for (int k = 0; k < kp; k++) {
+        int o = sh.pt_obs[k0 + k];
+        const double* Jc = &sh.Jc_all[o * 12];
+        const double* Jp = &sh.Jp_all[o * 6];
+        double* Wk = &Wblk[k * 18];
+        for (int i = 0; i < 6; i++)
+          for (int j = 0; j < 3; j++)
+            Wk[i * 3 + j] = Jc[0 * 6 + i] * Jp[0 * 3 + j] + Jc[1 * 6 + i] * Jp[1 * 3 + j];
+        int c = sh.cam_idx[o];
+        for (int i = 0; i < 6; i++) {
+          double s = 0;
+          for (int j = 0; j < 3; j++) s += Wk[i * 3 + j] * Vb[j];
+          rl[c * 6 + i] += s;
+        }
+      }
+      for (int a = 0; a < kp; a++) {
+        int ca = sh.cam_idx[sh.pt_obs[k0 + a]];
+        const double* Wa = &Wblk[a * 18];
+        double WaVi[18];
+        for (int i = 0; i < 6; i++)
+          for (int j = 0; j < 3; j++) {
+            double s = 0;
+            for (int k = 0; k < 3; k++) s += Wa[i * 3 + k] * Vi[k * 3 + j];
+            WaVi[i * 3 + j] = s;
+          }
+        for (int b = 0; b < kp; b++) {
+          int cb = sh.cam_idx[sh.pt_obs[k0 + b]];
+          double* Bt = Bl + size_t(S.find(ca, cb)) * 36;
+          const double* Wb = &Wblk[b * 18];
+          for (int i = 0; i < 6; i++)
+            for (int j = 0; j < 6; j++) {
+              double s = 0;
+              for (int k = 0; k < 3; k++) s += WaVi[i * 3 + k] * Wb[j * 3 + k];
+              Bt[i * 6 + j] -= s;
+            }
+        }
+      }
+    }
+  }
+  if (nthreads > 1) {
+    for (int t = 0; t < nthreads; t++) {
+      const double* Bl = &blk_t[size_t(t) * nnz36];
+      const double* rl = &rhs_t[size_t(t) * n];
+      for (size_t i = 0; i < nnz36; i++) S.blk[i] += Bl[i];
+      for (int i = 0; i < n; i++) rhs[i] += rl[i];
+    }
+  }
+  return cost;
+}
+
+// 6x6 inverse by Gauss-Jordan with partial pivoting; false if singular.
+bool inv6(const double* A, double* out) {
+  double M[6][12];
+  for (int i = 0; i < 6; i++) {
+    for (int j = 0; j < 6; j++) { M[i][j] = A[i * 6 + j]; M[i][6 + j] = i == j; }
+  }
+  for (int c = 0; c < 6; c++) {
+    int piv = c;
+    for (int r = c + 1; r < 6; r++)
+      if (std::fabs(M[r][c]) > std::fabs(M[piv][c])) piv = r;
+    if (std::fabs(M[piv][c]) < 1e-14) return false;
+    if (piv != c)
+      for (int j = 0; j < 12; j++) std::swap(M[piv][j], M[c][j]);
+    double inv = 1.0 / M[c][c];
+    for (int j = 0; j < 12; j++) M[c][j] *= inv;
+    for (int r = 0; r < 6; r++) {
+      if (r == c) continue;
+      double f = M[r][c];
+      if (f == 0) continue;
+      for (int j = 0; j < 12; j++) M[r][j] -= f * M[c][j];
+    }
+  }
+  for (int i = 0; i < 6; i++)
+    for (int j = 0; j < 6; j++) out[i * 6 + j] = M[i][6 + j];
+  return true;
+}
+
+// y = (S + lambda I) x, parallel over block rows.
+void bs_matvec(const BlockS& S, double lambda, const double* x, double* y) {
+  const int C = S.C;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(thread_count(0))
+#endif
+  for (int r = 0; r < C; r++) {
+    double acc[6] = {0, 0, 0, 0, 0, 0};
+    for (int e = S.row_start[r]; e < S.row_start[r + 1]; e++) {
+      const double* B = &S.blk[size_t(e) * 36];
+      const double* xc = x + S.col[e] * 6;
+      for (int i = 0; i < 6; i++)
+        for (int j = 0; j < 6; j++) acc[i] += B[i * 6 + j] * xc[j];
+    }
+    for (int i = 0; i < 6; i++) y[r * 6 + i] = acc[i] + lambda * x[r * 6 + i];
+  }
+}
+
+// Block-Jacobi PCG on (S + lambda I) dx = rhs. Returns 0 on convergence
+// (||r|| <= tol * ||rhs||), 1 otherwise (caller raises lambda).
+int pcg_solve(const BlockS& S, const double* rhs, double lambda, double tol,
+              int maxit, double* x, int* iters_out) {
+  const int C = S.C, n = 6 * C;
+  std::vector<double> Minv(size_t(C) * 36);
+  for (int c = 0; c < C; c++) {
+    double D[36];
+    int e = S.find(c, c);
+    std::memcpy(D, &S.blk[size_t(e) * 36], sizeof(D));
+    for (int i = 0; i < 6; i++) D[i * 6 + i] += lambda;
+    if (!inv6(D, &Minv[size_t(c) * 36])) {
+      // fall back to scalar Jacobi on this block
+      std::memset(&Minv[size_t(c) * 36], 0, sizeof(D));
+      for (int i = 0; i < 6; i++) {
+        double d = D[i * 6 + i];
+        Minv[size_t(c) * 36 + i * 6 + i] = d > 1e-14 ? 1.0 / d : 0.0;
+      }
+    }
+  }
+  auto apply_M = [&](const double* r, double* z) {
+    for (int c = 0; c < C; c++) {
+      const double* Mi = &Minv[size_t(c) * 36];
+      const double* rc = r + c * 6;
+      double* zc = z + c * 6;
+      for (int i = 0; i < 6; i++) {
+        double s = 0;
+        for (int j = 0; j < 6; j++) s += Mi[i * 6 + j] * rc[j];
+        zc[i] = s;
+      }
+    }
+  };
+  auto dot = [&](const double* a, const double* b) {
+    double s = 0;
+    for (int i = 0; i < n; i++) s += a[i] * b[i];
+    return s;
+  };
+
+  std::fill(x, x + n, 0.0);
+  std::vector<double> r(rhs, rhs + n), z(n), p(n), Ap(n);
+  double rhsn = std::sqrt(dot(rhs, rhs));
+  *iters_out = 0;
+  if (rhsn == 0) return 0;
+  apply_M(r.data(), z.data());
+  p = z;
+  double rz = dot(r.data(), z.data());
+  for (int it = 0; it < maxit; it++) {
+    bs_matvec(S, lambda, p.data(), Ap.data());
+    double pAp = dot(p.data(), Ap.data());
+    if (pAp <= 0) return 1;  // not SPD at this damping
+    double alpha = rz / pAp;
+    for (int i = 0; i < n; i++) { x[i] += alpha * p[i]; r[i] -= alpha * Ap[i]; }
+    *iters_out = it + 1;
+    if (std::sqrt(dot(r.data(), r.data())) <= tol * rhsn) return 0;
+    apply_M(r.data(), z.data());
+    double rz2 = dot(r.data(), z.data());
+    double beta = rz2 / rz;
+    rz = rz2;
+    for (int i = 0; i < n; i++) p[i] = z[i] + beta * p[i];
+  }
+  return 1;
 }
 
 // Back-substitute the camera step into this shard's points (into pts_trial)
@@ -567,6 +853,63 @@ int ba_solve(int num_cams, int num_pts, int num_obs,
       lambda *= 10.0;
       continue;
     }
+    ba_apply_cam_step(cam_params, dc.data(), num_cams, cam_new.data());
+    double new_cost = ba_shard_trial(h, cam_new.data(), dc.data());
+    if (new_cost < cost) {
+      cost = new_cost;
+      lambda = std::fmax(lambda * 0.5, 1e-9);
+      std::memcpy(cam_params, cam_new.data(), 6 * num_cams * sizeof(double));
+      ba_shard_accept(h);
+    } else {
+      lambda = std::fmin(lambda * 4.0, 1e8);
+    }
+  }
+  ba_shard_get_points(h, points);
+  *final_cost = cost;
+  *iters_run = it;
+  ba_shard_destroy(h);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Large-scene single-call API: block-sparse Schur + block-Jacobi PCG.
+// Same contract as ba_solve; use when num_cams is large (the dense
+// reduced system is O(C^2) memory / O(C^3) solve). cg_tol ~ 1e-6,
+// cg_maxit ~ 500 are good defaults. Reports total CG iterations.
+// ---------------------------------------------------------------------------
+
+int ba_solve_pcg(int num_cams, int num_pts, int num_obs,
+                 double* cam_params, const double* intrinsics4, double* points,
+                 const int32_t* cam_idx, const int32_t* pt_idx,
+                 const double* uv, const double* weight,
+                 int max_iters, double init_lambda, double huber_delta,
+                 double cg_tol, int cg_maxit,
+                 double* final_cost, int* iters_run, int* cg_iters_total,
+                 int64_t* nnz_blocks) {
+  void* h = ba_shard_create(num_cams, num_pts, num_obs, intrinsics4, points,
+                            cam_idx, pt_idx, uv, weight, huber_delta);
+  Shard* sh = static_cast<Shard*>(h);
+  const int n = 6 * num_cams;
+  BlockS S;
+  build_pattern(*sh, S);
+  if (nnz_blocks) *nnz_blocks = (int64_t)S.col.size();
+  std::vector<double> rhs(n), dc(n), cam_new(6 * num_cams);
+
+  double lambda = init_lambda;
+  double cost = ba_shard_cost(h, cam_params);
+  int it = 0;
+  *cg_iters_total = 0;
+  for (; it < max_iters; it++) {
+    std::fill(rhs.begin(), rhs.end(), 0.0);
+    shard_linearize_sparse(*sh, cam_params, lambda, S, rhs.data());
+    int cg_it = 0;
+    if (pcg_solve(S, rhs.data(), lambda, cg_tol, cg_maxit, dc.data(),
+                  &cg_it) != 0) {
+      *cg_iters_total += cg_it;
+      lambda *= 10.0;
+      continue;
+    }
+    *cg_iters_total += cg_it;
     ba_apply_cam_step(cam_params, dc.data(), num_cams, cam_new.data());
     double new_cost = ba_shard_trial(h, cam_new.data(), dc.data());
     if (new_cost < cost) {

@@ -134,6 +134,15 @@ def _load() -> ctypes.CDLL:
             ]
             lib.ba_apply_cam_step.restype = None
             lib.ba_apply_cam_step.argtypes = [f64(), f64(), ctypes.c_int, f64()]
+            lib.ba_solve_pcg.restype = ctypes.c_int
+            lib.ba_solve_pcg.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                f64(), f64(), f64(), i32(), i32(), f64(), f64(),
+                ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
     return _lib
 
@@ -144,6 +153,12 @@ def available() -> bool:
         return True
     except Exception:
         return False
+
+
+# Above this camera count the dense 6C x 6C reduced system (O(C^2) memory,
+# O(C^3) Cholesky) loses to block-sparse Schur + block-Jacobi PCG; measured
+# crossover on this host is a few hundred cameras (tools/ba_benchmark.py).
+SPARSE_CAMERA_THRESHOLD = 300
 
 
 def ba_solve(
@@ -157,8 +172,17 @@ def ba_solve(
     max_iters: int = 30,
     init_lambda: float = 1e-3,
     huber_delta: float = 0.0,
+    solver: str = "auto",  # auto | dense | pcg
+    cg_tol: float = 1e-6,
+    cg_maxit: int = 500,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
-    """Run the native LM-Schur solver; returns (extrinsics, points, info)."""
+    """Run the native LM-Schur solver; returns (extrinsics, points, info).
+
+    ``solver='auto'`` uses the dense Cholesky reduced system for small scenes
+    and switches to block-sparse Schur + PCG past
+    ``SPARSE_CAMERA_THRESHOLD`` cameras (the COLMAP-scale regime the
+    reference reaches through pycolmap, ``dependency/np_to_pycolmap.py``).
+    """
     lib = _load()
     C = extrinsics.shape[0]
     cam, K4, pts, cam_idx, pt_idx, uv, weight = _prep_problem(
@@ -166,20 +190,39 @@ def ba_solve(
     )
     final_cost = ctypes.c_double(0.0)
     iters_run = ctypes.c_int(0)
-    ret = lib.ba_solve(
-        C, pts.shape[0], len(uv),
-        cam, K4, pts,
-        cam_idx, pt_idx, uv, weight,
-        max_iters, init_lambda, huber_delta,
-        ctypes.byref(final_cost), ctypes.byref(iters_run),
-    )
+    if solver == "auto":
+        solver = "pcg" if C > SPARSE_CAMERA_THRESHOLD else "dense"
+    info: dict
+    if solver == "pcg":
+        cg_total = ctypes.c_int(0)
+        nnz = ctypes.c_int64(0)
+        ret = lib.ba_solve_pcg(
+            C, pts.shape[0], len(uv),
+            cam, K4, pts,
+            cam_idx, pt_idx, uv, weight,
+            max_iters, init_lambda, huber_delta, cg_tol, cg_maxit,
+            ctypes.byref(final_cost), ctypes.byref(iters_run),
+            ctypes.byref(cg_total), ctypes.byref(nnz),
+        )
+        info = {"solver": "pcg", "cg_iterations": cg_total.value,
+                "nnz_blocks": nnz.value}
+    else:
+        ret = lib.ba_solve(
+            C, pts.shape[0], len(uv),
+            cam, K4, pts,
+            cam_idx, pt_idx, uv, weight,
+            max_iters, init_lambda, huber_delta,
+            ctypes.byref(final_cost), ctypes.byref(iters_run),
+        )
+        info = {"solver": "dense"}
     assert ret == 0
     R = _np_axis_angle_to_mat(cam[:, :3]).astype(np.float32)
     ext = np.concatenate([R, cam[:, 3:6, None].astype(np.float32)], axis=2)
-    return ext, pts.astype(np.float32), {
+    info.update({
         "final_cost": final_cost.value,
         "iterations": iters_run.value,
-    }
+    })
+    return ext, pts.astype(np.float32), info
 
 
 # ---------------------------------------------------------------------------

@@ -275,3 +275,73 @@ class TestAxisAngleEdgeCases:
             _np_axis_angle_to_mat(out[:, :3]), _np_axis_angle_to_mat(aa),
             atol=1e-6,
         )
+
+
+class TestSparsePCG:
+    """Block-sparse Schur + block-Jacobi PCG path (large-C scenes)."""
+
+    def test_pcg_matches_dense(self, native, rng):
+        exts, Ks, pts, ci, pi, uv = make_ba_scene(rng, C=8, P=150)
+        exts_n = exts.copy()
+        exts_n[1:, :3, 3] += rng.normal(
+            scale=0.02, size=(exts.shape[0] - 1, 3)).astype(np.float32)
+        pts_n = pts + rng.normal(scale=0.03, size=pts.shape).astype(np.float32)
+
+        ext_d, pts_d, info_d = native.ba_solve(
+            exts_n, Ks, pts_n, ci, pi, uv, max_iters=25, solver="dense")
+        ext_s, pts_s, info_s = native.ba_solve(
+            exts_n, Ks, pts_n, ci, pi, uv, max_iters=25, solver="pcg")
+        assert info_s["solver"] == "pcg" and info_s["cg_iterations"] > 0
+        # fully-dense covisibility: every block pair present
+        assert info_s["nnz_blocks"] == exts.shape[0] ** 2
+        # both reach the residual floor (the problem has gauge freedom, so
+        # poses are only comparable up to a global similarity — compare the
+        # objective, not raw parameters)
+        from self_supervise_sfm_tpu.ops import bundle_adjust as BA
+
+        for ext_o, pts_o in ((ext_d, pts_d), (ext_s, pts_s)):
+            prob = BA.make_problem(
+                jnp.asarray(ext_o), jnp.asarray(Ks), jnp.asarray(pts_o),
+                jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv),
+            )
+            assert float(BA.reprojection_rmse(prob)) < 0.02
+        assert abs(info_s["final_cost"] - info_d["final_cost"]) <= (
+            1e-2 * max(info_d["final_cost"], 1e-6) + 1e-6)
+
+    def test_pcg_sparse_covisibility_converges(self, native, rng):
+        """Windowed visibility: camera c sees only points in its window, so
+        the covisibility pattern (and nnz) is genuinely sparse."""
+        from self_supervise_sfm_tpu.ops import bundle_adjust as BA
+
+        C, PPW = 30, 40  # cameras, points per window
+        K = np.array([[300.0, 0, 128], [0, 300.0, 96], [0, 0, 1]], np.float32)
+        Ks = np.tile(K, (C, 1, 1))
+        pts = rng.uniform(-1, 1, size=(C * PPW // 2, 3)).astype(np.float32)
+        pts[:, 2] += 6.0
+        exts = np.tile(np.eye(3, 4, dtype=np.float32), (C, 1, 1))
+        exts[:, 0, 3] = np.linspace(-1, 1, C)
+        cam_idx, pt_idx, uv = [], [], []
+        for c in range(C):
+            lo = c * PPW // 2
+            sel = np.arange(lo, min(lo + PPW, pts.shape[0]))
+            pc = pts[sel] @ exts[c, :3, :3].T + exts[c, :3, 3]
+            px = pc @ K.T
+            px = px[:, :2] / px[:, 2:3]
+            cam_idx += [c] * len(sel)
+            pt_idx += list(sel)
+            uv += list(px)
+        ci = np.asarray(cam_idx)
+        pi = np.asarray(pt_idx)
+        uv = np.asarray(uv, np.float32)
+
+        exts_n = exts.copy()
+        exts_n[1:, :3, 3] += rng.normal(
+            scale=0.01, size=(C - 1, 3)).astype(np.float32)
+        ext_s, pts_s, info = native.ba_solve(
+            exts_n, Ks, pts, ci, pi, uv, max_iters=30, solver="pcg")
+        assert info["nnz_blocks"] < C * C  # pattern actually sparse
+        prob = BA.make_problem(
+            jnp.asarray(ext_s), jnp.asarray(Ks), jnp.asarray(pts_s),
+            jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv),
+        )
+        assert float(BA.reprojection_rmse(prob)) < 0.05
