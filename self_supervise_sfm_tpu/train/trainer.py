@@ -488,6 +488,12 @@ def main():
                     help="enable jax_debug_nans: fail fast with a traceback "
                          "at the op that produced the first NaN (SURVEY §5 "
                          "NaN-guard; slows compilation, debugging only)")
+    ap.add_argument("--loss-max-val", type=float, default=15.0,
+                    help="CDF histogram upper bound over log1p residuals "
+                         "(reference default 15, train_imc.py:332-336). "
+                         "Residuals past it saturate the CDF and stop "
+                         "producing gradient — raise it when training far "
+                         "from a pretrained init (random-init smoke runs)")
     args = ap.parse_args()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -515,7 +521,8 @@ def main():
         rank=args.rank,
         native_loader=False if args.no_native_loader else None,
         train=TrainConfig(max_lr=args.max_lr, warmup_steps=args.warmup,
-                          total_steps=args.steps, loss=LossConfig(),
+                          total_steps=args.steps,
+                          loss=LossConfig(max_val=args.loss_max_val),
                           fsdp=args.fsdp, adam_mu_dtype=args.adam_mu_dtype),
     )
     run(cfg)
