@@ -126,9 +126,10 @@ def main():
         print(json.dumps(row), flush=True)
         results["sweep"].append(row)
 
-    # large scene: PCG only (dense S at C=2000 is 1.15 GB, solve O(C^3))
+    # large scene: PCG only (dense S at C=2000 is 1.15 GB, solve O(C^3));
+    # denser point coverage: ~100k points / 300k observations
     C = 2000
-    exts, Ks, pts, ci, pi, uv = make_scene(rng, C)
+    exts, Ks, pts, ci, pi, uv = make_scene(rng, C, pts_per_cam=150)
     e0, p0 = perturb(rng, exts, pts)
     ts, infos, es, ps = run_native(
         NBA, "pcg", e0, Ks, p0, ci, pi, uv, args.max_iters)
