@@ -297,6 +297,11 @@ def bench_inference() -> dict:
         cache, cam_tok, chk = jb(params, uimgs, key)
         float(chk)
         build_s = time.perf_counter() - t0  # first call: compile + run
+        # warm build: the recurring cost of switching scenes (compile cached)
+        t0 = time.perf_counter()
+        cache, cam_tok, chk = jb(params, uimgs, jax.random.PRNGKey(2))
+        float(chk)
+        build_warm_s = time.perf_counter() - t0
         float(jr(params, cache, cam_tok, uimgs))  # warmup (compile)
         rtimes = []
         for _ in range(3):
@@ -307,6 +312,7 @@ def bench_inference() -> dict:
         out["reloc_frames_per_sec"] = round(NUM_FRAMES / rdt, 3)
         out["reloc_step_seconds"] = round(rdt, 4)
         out["cache_build_first_call_seconds"] = round(build_s, 1)
+        out["cache_build_warm_seconds"] = round(build_warm_s, 4)
 
     return out
 

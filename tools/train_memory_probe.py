@@ -132,7 +132,7 @@ def main():
 
     if args.mesh > 1:
         devs = jax.devices()[: args.mesh]
-        mesh = Sh.make_mesh(data=len(devs))
+        mesh = Sh.make_mesh(num_data=len(devs))
         with Sh.activate_mesh(mesh):
             shardings = Sh.param_sharding(mesh, state_shapes, fsdp=True)
             state_sds = jax.tree.map(
