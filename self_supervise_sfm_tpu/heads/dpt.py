@@ -120,12 +120,20 @@ def _fusion(p, x, residual=None, out_hw=None):
     return P.conv2d(p["out_conv"], x)
 
 
+def _pos_embed_grid(ph: int, pw: int, C: int, W: int, H: int, dtype,
+                    ratio: float = 0.1) -> jax.Array:
+    """The scaled (ph, pw, C) sincos UV positional grid addend
+    (``dpt_head.py:298-312``)."""
+    grid = create_uv_grid(pw, ph, aspect_ratio=W / H, dtype=dtype)
+    pe = position_grid_to_embed(grid, C)
+    return (ratio * pe).astype(dtype)
+
+
 def _apply_pos_embed(x: jax.Array, W: int, H: int, ratio: float = 0.1) -> jax.Array:
     """Add the scaled sincos UV positional grid (``dpt_head.py:298-312``)."""
-    ph, pw = x.shape[1], x.shape[2]
-    grid = create_uv_grid(pw, ph, aspect_ratio=W / H, dtype=x.dtype)
-    pe = position_grid_to_embed(grid, x.shape[-1])
-    return x + (ratio * pe)[None].astype(x.dtype)
+    pe = _pos_embed_grid(x.shape[1], x.shape[2], x.shape[-1], W, H, x.dtype,
+                         ratio)
+    return x + pe[None]
 
 
 def dpt_head(
@@ -185,9 +193,14 @@ def dpt_head(
         int(ph * cfg.patch_size / cfg.down_ratio),
         int(pw * cfg.patch_size / cfg.down_ratio),
     )
-    out = resize_bilinear_ac(out, out_hw)
     if cfg.pos_embed:
-        out = _apply_pos_embed(out, W, H)
+        # the post-resize pos-embed rides the resize call so the Pallas
+        # H-pass can fuse the add (saves a full-resolution HBM round trip)
+        pe = _pos_embed_grid(out_hw[0], out_hw[1], out.shape[-1], W, H,
+                             out.dtype)
+        out = resize_bilinear_ac(out, out_hw, add=pe)
+    else:
+        out = resize_bilinear_ac(out, out_hw)
     if cfg.feature_only:
         return out.reshape(B, S, *out.shape[1:])
 

@@ -50,21 +50,24 @@ def _resize_einsum(x: jax.Array, out_hw) -> jax.Array:
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _resize_kernel_vjp(x, out_hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _resize_kernel_vjp(x, add, out_hw):
     from ..ops.resize import resize_bilinear_kernel
 
     return resize_bilinear_kernel(
-        x, out_hw, _interp_matrix_ac(out_hw[1], x.shape[2])
+        x, out_hw, _interp_matrix_ac(out_hw[1], x.shape[2]), add=add
     )
 
 
-def _resize_kernel_fwd(x, out_hw):
-    return _resize_kernel_vjp(x, out_hw), x.shape
+def _resize_kernel_fwd(x, add, out_hw):
+    return _resize_kernel_vjp(x, add, out_hw), (x.shape, None if add is None
+                                                else add.dtype)
 
 
-def _resize_kernel_bwd(out_hw, in_shape, g):
-    # linear map: vjp = transpose contraction with the same interp matrices
+def _resize_kernel_bwd(out_hw, res, g):
+    # linear map: vjp = transpose contraction with the same interp matrices;
+    # the fused addend is broadcast over N, so its cotangent is the N-sum
+    in_shape, add_dtype = res
     H2, W2 = out_hw
     _, H, W, _ = in_shape
     Ah = jnp.asarray(_interp_matrix_ac(H2, H), g.dtype)
@@ -72,30 +75,37 @@ def _resize_kernel_bwd(out_hw, in_shape, g):
     with jax.default_matmul_precision("highest"):
         dx = jnp.einsum("wj,nhwc->nhjc", Aw, g)
         dx = jnp.einsum("hi,nhjc->nijc", Ah, dx)
-    return (dx,)
+    dadd = None if add_dtype is None else jnp.sum(g, axis=0).astype(add_dtype)
+    return (dx, dadd)
 
 
 _resize_kernel_vjp.defvjp(_resize_kernel_fwd, _resize_kernel_bwd)
 
 
-def resize_bilinear_ac(x: jax.Array, out_hw) -> jax.Array:
+def resize_bilinear_ac(x: jax.Array, out_hw, add: jax.Array | None = None
+                       ) -> jax.Array:
     """(N, H, W, C) -> (N, H2, W2, C), bilinear, align_corners=True.
 
     Large upsamples take the Pallas two-pass kernel (``ops/resize``): the
     interp matmul stays in VMEM (no HBM-visible FLOP waste or layout copies)
     and the H pass is a VPU 2-tap lerp. Everything else runs as the exact
     einsum contraction (also the backward of the kernel path).
+
+    ``add``: optional (H2, W2, C) addend applied after the resize — on the
+    kernel path it fuses into the H-pass epilogue (no extra full-image HBM
+    pass); on the einsum path it is a plain add, numerically identical.
     """
     H2, W2 = out_hw
     N, H, W, C = x.shape
     if (H, W) == (H2, W2):
-        return x
+        return x if add is None else x + add[None].astype(x.dtype)
     if jax.default_backend() == "tpu":
         from ..ops.resize import resize_kernel_applicable
 
         if resize_kernel_applicable(x.shape, out_hw):
-            return _resize_kernel_vjp(x, tuple(out_hw))
-    return _resize_einsum(x, out_hw)
+            return _resize_kernel_vjp(x, add, tuple(out_hw))
+    y = _resize_einsum(x, out_hw)
+    return y if add is None else y + add[None].astype(y.dtype)
 
 
 def make_sincos_pos_embed(embed_dim: int, pos: jax.Array, omega_0: float = 100.0):

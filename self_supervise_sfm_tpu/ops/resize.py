@@ -64,8 +64,14 @@ def _resize_w(x: jax.Array, aw: np.ndarray, rh: int = 8,
 _H_TILE = 4  # keeps the 2-block halo window + out tile well under VMEM
 
 
-def _h_kernel(xa_ref, xb_ref, o_ref, *, th: int, rh: int, H: int, H2: int):
-    i = pl.program_id(1)
+def _h_kernel(xa_ref, xb_ref, *rest, th: int, rh: int, H: int, H2: int,
+              fused_add: bool):
+    if fused_add:
+        add_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        add_ref = None
+    i = pl.program_id(0)
     j0 = i * th
     # clamped lo, matching the index maps exactly (an unclamped H-1 floor at
     # the top edge would put off one row before the window)
@@ -86,16 +92,21 @@ def _h_kernel(xa_ref, xb_ref, o_ref, *, th: int, rh: int, H: int, H2: int):
         off = lo - block_a * rh
         row_lo = window_row(off)
         row_hi = window_row(off + 1)
-        o_ref[0, r] = (
-            row_lo * (1.0 - frac) + row_hi * frac
-        ).astype(o_ref.dtype)
+        y = row_lo * (1.0 - frac) + row_hi * frac
+        if add_ref is not None:
+            y = y + add_ref[r]
+        o_ref[0, r] = y.astype(o_ref.dtype)
 
 
 def _resize_h(x: jax.Array, H2: int, th: int = _H_TILE,
-              interpret: bool = False):
+              interpret: bool = False, add=None):
+    """H-pass 2-tap lerp; ``add`` (H2, W, C) is an optional fused epilogue
+    addend shared across N (the DPT pos-embed): grid iterates N innermost so
+    each ``add`` block is DMA'd once, not once per frame."""
     N, H, W, C = x.shape
     if H == 1:
-        return jnp.broadcast_to(x, (N, H2, W, C))
+        x = jnp.broadcast_to(x, (N, H2, W, C))
+        return x if add is None else x + add[None].astype(x.dtype)
     rh = th
     # halo containment: with th == rh the needed span per output tile is
     # ceil((th-1)*(H-1)/(H2-1)) + 1 <= rh rows past lo(j0), which always fits
@@ -106,23 +117,29 @@ def _resize_h(x: jax.Array, H2: int, th: int = _H_TILE,
     def _block_a(i):
         return jnp.minimum((i * th * (H - 1)) // (H2 - 1), H - 2) // rh
 
-    def idx_a(n, i):
+    def idx_a(i, n):
         return (n, _block_a(i), 0, 0)
 
-    def idx_b(n, i):
+    def idx_b(i, n):
         return (n, jnp.minimum(_block_a(i) + 1, nblk - 1), 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, rh, W, C), idx_a),
+        pl.BlockSpec((1, rh, W, C), idx_b),
+    ]
+    operands = [x, x]
+    if add is not None:
+        in_specs.append(pl.BlockSpec((th, W, C), lambda i, n: (i, 0, 0)))
+        operands.append(add.astype(jnp.float32))
     return pl.pallas_call(
-        functools.partial(_h_kernel, th=th, rh=rh, H=H, H2=H2),
-        grid=(N, _cdiv(H2, th)),
-        in_specs=[
-            pl.BlockSpec((1, rh, W, C), idx_a),
-            pl.BlockSpec((1, rh, W, C), idx_b),
-        ],
-        out_specs=pl.BlockSpec((1, th, W, C), lambda n, i: (n, i, 0, 0)),
+        functools.partial(_h_kernel, th=th, rh=rh, H=H, H2=H2,
+                          fused_add=add is not None),
+        grid=(_cdiv(H2, th), N),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, W, C), lambda i, n: (n, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, H2, W, C), x.dtype),
         interpret=interpret,
-    )(x, x)
+    )(*operands)
 
 
 def resize_kernel_applicable(shape, out_hw) -> bool:
@@ -141,16 +158,19 @@ def resize_kernel_applicable(shape, out_hw) -> bool:
 
 
 def resize_bilinear_kernel(
-    x: jax.Array, out_hw, aw: np.ndarray, interpret: bool = False
+    x: jax.Array, out_hw, aw: np.ndarray, interpret: bool = False,
+    add: jax.Array | None = None,
 ) -> jax.Array:
     """(N, H, W, C) -> (N, H2, W2, C): Pallas W-matmul pass + H-lerp pass.
 
     ``aw``: the (W2, W) align-corners interp matrix (same weights as the
     einsum path — results match to fp32 rounding).
+    ``add``: optional (H2, W2, C) addend fused into the H-pass epilogue
+    (the DPT final pos-embed — saves a full-image HBM round trip).
     """
     H2, W2 = out_hw
     if x.shape[2] != W2:
         x = _resize_w(x, aw, interpret=interpret)
     if x.shape[1] != H2:
-        x = _resize_h(x, H2, interpret=interpret)
-    return x
+        return _resize_h(x, H2, interpret=interpret, add=add)
+    return x if add is None else x + add[None].astype(x.dtype)

@@ -32,6 +32,36 @@ def test_kernel_matches_einsum(rng, h, w, h2, w2, c):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("h,w,h2,w2,c", [(18, 22, 37, 45, 16),
+                                         (9, 13, 9, 26, 8)])
+def test_kernel_fused_add_matches_einsum(rng, h, w, h2, w2, c):
+    """The fused pos-embed epilogue == resize-then-add (both W+H and W-only
+    shapes — the latter exercises the non-kernel add fallback)."""
+    x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+    add = jnp.asarray(rng.normal(size=(h2, w2, c)).astype(np.float32))
+    ref = _resize_einsum(x, (h2, w2)) + add[None]
+    out = resize_bilinear_kernel(
+        x, (h2, w2), _interp_matrix_ac(w2, w), interpret=True, add=add
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_resize_ac_fused_add_grads(rng):
+    """resize_bilinear_ac(add=...) differentiates like resize + add."""
+    from self_supervise_sfm_tpu.heads.dpt_utils import resize_bilinear_ac
+
+    h, w, h2, w2, c = 6, 7, 11, 13, 4
+    x = jnp.asarray(rng.normal(size=(3, h, w, c)).astype(np.float32))
+    add = jnp.asarray(rng.normal(size=(h2, w2, c)).astype(np.float32))
+    f = lambda x, a: jnp.sum(resize_bilinear_ac(x, (h2, w2), add=a) ** 2)  # noqa: E731
+    fr = lambda x, a: jnp.sum(  # noqa: E731
+        (_resize_einsum(x, (h2, w2)) + a[None]) ** 2)
+    gx, ga = jax.grad(f, argnums=(0, 1))(x, add)
+    rx, ra = jax.grad(fr, argnums=(0, 1))(x, add)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), atol=1e-4)
+
+
 def test_bwd_is_einsum_transpose(rng):
     """The custom-vjp backward equals autodiff of the einsum path."""
     h, w, h2, w2 = 10, 12, 21, 25
@@ -39,7 +69,8 @@ def test_bwd_is_einsum_transpose(rng):
     g = jnp.asarray(rng.normal(size=(1, h2, w2, 4)).astype(np.float32))
     _, vjp = jax.vjp(lambda t: _resize_einsum(t, (h2, w2)), x)
     (ref,) = vjp(g)
-    (got,) = _resize_kernel_bwd((h2, w2), x.shape, g)
+    got, dadd = _resize_kernel_bwd((h2, w2), (x.shape, None), g)
+    assert dadd is None
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
