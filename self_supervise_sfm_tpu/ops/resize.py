@@ -144,7 +144,9 @@ def _resize_h(x: jax.Array, H2: int, th: int = _H_TILE,
 
 def resize_kernel_applicable(shape, out_hw) -> bool:
     """Gate: upsample-only, big enough to beat the einsum path, and VMEM-safe
-    W-pass blocks (rh * (W + W2) * C * 4B plus the interp matrix)."""
+    for BOTH passes: the W-pass blocks (rh * (W + W2) * C * 4B plus the interp
+    matrix) and the H-pass resident set (2 halo refs + optional fused-add
+    block + out tile, th rows of W2 x C each, double-buffered)."""
     N, H, W, C = shape
     H2, W2 = out_hw
     if H2 < H or W2 < W or H < 2:
@@ -153,8 +155,11 @@ def resize_kernel_applicable(shape, out_hw) -> bool:
         # smaller pyramid levels fuse into their conv neighbours on the
         # einsum path, which beats standalone kernels
         return False
-    vmem = 8 * (W + W2) * C * 4 + W2 * W * 4
-    return vmem < 12 * 2**20
+    vmem_w = 8 * (W + W2) * C * 4 + W2 * W * 4
+    # H-pass: 4 blocks (2-halo window, fused add, out) of th rows at width W2,
+    # x2 for pipeline double-buffering; f32 worst case
+    vmem_h = 2 * 4 * _H_TILE * W2 * C * 4
+    return max(vmem_w, vmem_h) < 12 * 2**20
 
 
 def resize_bilinear_kernel(

@@ -74,6 +74,25 @@ def test_bwd_is_einsum_transpose(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_bwd_fused_add_is_einsum_transpose(rng):
+    """The custom-vjp backward with a live fused addend matches jax.vjp of
+    the einsum+add reference for BOTH cotangents (dx, dadd) — covers the
+    dadd = sum-over-N path that TPU training hits but CPU autodiff skips."""
+    n, h, w, h2, w2, c = 3, 10, 12, 21, 25, 4
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    add = jnp.asarray(rng.normal(size=(h2, w2, c)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, h2, w2, c)).astype(np.float32))
+    _, vjp = jax.vjp(
+        lambda t, a: _resize_einsum(t, (h2, w2)) + a[None], x, add
+    )
+    ref_dx, ref_dadd = vjp(g)
+    got_dx, got_dadd = _resize_kernel_bwd((h2, w2), (x.shape, add.dtype), g)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dadd), np.asarray(ref_dadd),
+                               atol=1e-5)
+
+
 def test_identity_rows_passthrough(rng):
     """Integer-aligned output rows copy their input row exactly."""
     x = jnp.asarray(rng.normal(size=(1, 5, 9, 8)).astype(np.float32))
