@@ -40,17 +40,6 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _compiler_params(interpret: bool):
-    """Raise the 16 MB default scoped-VMEM cap for the rope-qkv kernel: its
-    full-width f32 LN/rope intermediates put the bn=128 resident set at
-    ~16.3 MB (v5e has 128 MB VMEM; the default cap is conservative)."""
-    if interpret:
-        return None
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
-
-
 def _ln_rows(x32, scale, bias, eps):
     """Row-wise layer norm in f32 (matches layers/params.py:layer_norm)."""
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -59,76 +48,25 @@ def _ln_rows(x32, scale, bias, eps):
     return xc * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _rope_full(t32, cos_t, sin_t, nh: int, d: int, out_dtype):
-    """2D rope on a head-concatenated (bn, nh*d) array, full lane width.
-
-    Per head, quarters (-t2, t1, -t4, t3) == within each d/2 half, swap the
-    two d/4 quarters and negate the one moving left. As a whole-row op:
-    lane j (j' = j mod d/2) takes ``-t[j + d/4]`` when j' < d/4 else
-    ``t[j - d/4]`` — two circular lane rolls + one select, never crossing a
-    head boundary. Vectorised form of layers/rope.py:apply_rope: ~7 full-width
-    VPU ops replace 16 quarter-width (12.5%-lane-utilised) slice/concat chains.
-
-    ``t32`` is the f32 pre-cast value: lane rolls only lower for 32-bit
-    element types (tpu.dynamic_rotate has no bf16 form), and cast-after-roll
-    is bitwise identical to roll-after-cast. The multiply/adds run in
-    ``out_dtype`` to match the unfused chain's bf16 rope numerics.
+def _rope_rows(t, cos, sin):
+    """2D rope on (bn, d) rows; quarters (-t2, t1, -t4, t3) — the in-VMEM
+    form of layers/rope.py:apply_rope (two halves, rotate-half within each).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
-    C = nh * d
-    qd = d // 4
-    lane = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 1)
-    left = (lane % (d // 2)) < qd
-    up = pltpu.roll(t32, C - qd, axis=1).astype(out_dtype)  # t[j + d/4]
-    dn = pltpu.roll(t32, qd, axis=1).astype(out_dtype)      # t[j - d/4]
-    rot = jnp.where(left, -up, dn)
-    t = t32.astype(out_dtype)
-    return t * cos_t + rot * sin_t
-
-
-def _seg_ln(t, seg_dn_ref, seg_up_ref, scale_t, bias_t, d: int, eps: float):
-    """Per-head LayerNorm on a head-concatenated (bn, nh*d) f32 array.
-
-    Segment statistics ride the MXU: ``t @ S`` (one-hot head indicator,
-    lane-padded to 128 columns — sub-128 output widths send Mosaic down a
-    pathological ~5-minute compile path) sums each head's d lanes;
-    ``stats @ S^T`` broadcasts them back, exactly (one-hot rows select a
-    single value; padding rows are zero). Both matmuls are tiny next to the
-    main QKV matmul and replace 16 per-head (bn, d) half-lane reductions
-    with full-width elementwise work. f32 HIGHEST keeps the stats at
-    reference precision (~1e-7 vs the unfused jnp.mean path).
-    """
-    hp = jax.lax.Precision.HIGHEST
-    ssum = jax.lax.dot_general(
-        t, seg_dn_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hp,
-    )  # (bn, 128) — head sums in the first nh columns
-    mu = jax.lax.dot_general(
-        ssum * (1.0 / d), seg_up_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hp,
-    )  # (bn, C) per-head mean broadcast
-    xc = t - mu
-    vsum = jax.lax.dot_general(
-        xc * xc, seg_dn_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hp,
-    )
-    var = jax.lax.dot_general(
-        vsum * (1.0 / d), seg_up_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hp,
-    )
-    return xc * jax.lax.rsqrt(var + eps) * scale_t + bias_t
+    qd = t.shape[-1] // 4
+    t1 = t[:, :qd]
+    t2 = t[:, qd : 2 * qd]
+    t3 = t[:, 2 * qd : 3 * qd]
+    t4 = t[:, 3 * qd :]
+    rot = jnp.concatenate([-t2, t1, -t4, t3], axis=-1)
+    return t * cos + rot * sin
 
 
 def _kernel(
     x_ref, lnw_ref, lnb_ref, w_ref, b_ref,
     qnw_ref, qnb_ref, knw_ref, knb_ref, cos_ref, sin_ref,
-    seg_dn_ref, seg_up_ref,
     q_ref, k_ref, v_ref,
     *, nh: int, d: int, eps: float,
 ):
-    from jax.experimental.pallas import tpu as pltpu
-
     x = x_ref[0].astype(jnp.float32)  # (bn, C)
     h = _ln_rows(x, lnw_ref[0], lnb_ref[0], eps).astype(w_ref.dtype)
     qkv = jax.lax.dot_general(
@@ -138,21 +76,20 @@ def _kernel(
     # match the unfused linear(): bf16 matmul output, bias added in bf16
     qkv = qkv.astype(q_ref.dtype) + b_ref[0].astype(q_ref.dtype)  # (bn, 3C)
 
+    cos = cos_ref[...].astype(q_ref.dtype)  # (bn, d)
+    sin = sin_ref[...].astype(q_ref.dtype)
     C = nh * d
-    # per-head tables tiled across all heads' lanes (pltpu.repeat == tile)
-    cos_t = pltpu.repeat(cos_ref[...].astype(q_ref.dtype), nh, axis=1)
-    sin_t = pltpu.repeat(sin_ref[...].astype(q_ref.dtype), nh, axis=1)
-
-    qn = _seg_ln(qkv[:, :C].astype(jnp.float32), seg_dn_ref, seg_up_ref,
-                 qnw_ref[0], qnb_ref[0], d, eps)
-    kn = _seg_ln(qkv[:, C : 2 * C].astype(jnp.float32), seg_dn_ref,
-                 seg_up_ref, knw_ref[0], knb_ref[0], d, eps)
-    qr = _rope_full(qn, cos_t, sin_t, nh, d, q_ref.dtype)
-    kr = _rope_full(kn, cos_t, sin_t, nh, d, q_ref.dtype)
     for hh in range(nh):
-        q_ref[0, hh] = qr[:, hh * d : (hh + 1) * d]
-        k_ref[0, hh] = kr[:, hh * d : (hh + 1) * d]
-        v_ref[0, hh] = qkv[:, 2 * C + hh * d : 2 * C + (hh + 1) * d]
+        qh = qkv[:, hh * d : (hh + 1) * d]
+        kh = qkv[:, C + hh * d : C + (hh + 1) * d]
+        vh = qkv[:, 2 * C + hh * d : 2 * C + (hh + 1) * d]
+        qh = _ln_rows(qh.astype(jnp.float32), qnw_ref[0], qnb_ref[0], eps)
+        kh = _ln_rows(kh.astype(jnp.float32), knw_ref[0], knb_ref[0], eps)
+        qh = _rope_rows(qh.astype(q_ref.dtype), cos, sin)
+        kh = _rope_rows(kh.astype(q_ref.dtype), cos, sin)
+        q_ref[0, hh] = qh
+        k_ref[0, hh] = kh
+        v_ref[0, hh] = vh
 
 
 def fused_qkv_kernel(
@@ -176,16 +113,6 @@ def fused_qkv_kernel(
 
     const = lambda *_: (0, 0)  # noqa: E731
     kern = functools.partial(_kernel, nh=nh, d=d, eps=eps)
-    # one-hot head-segment indicator: (C, npad) sums each head's d lanes on
-    # the MXU; its transpose broadcasts per-head stats back to all d lanes.
-    # Column count padded to >=128 (zero columns): Mosaic compiles sub-128
-    # matmul output widths pathologically slowly (~minutes).
-    npad = max(nh, 128)
-    seg = jnp.equal(
-        jnp.arange(C, dtype=jnp.int32)[:, None] // d,
-        jnp.arange(npad, dtype=jnp.int32)[None, :],
-    ).astype(jnp.float32)
-    tile_h = lambda a: jnp.tile(a.reshape(1, d), (1, nh)).astype(jnp.float32)  # noqa: E731
     q, k, v = pl.pallas_call(
         kern,
         grid=grid,
@@ -195,14 +122,12 @@ def fused_qkv_kernel(
             pl.BlockSpec((1, C), const),
             pl.BlockSpec((C, 3 * C), const),
             pl.BlockSpec((1, 3 * C), const),
-            pl.BlockSpec((1, C), const),
-            pl.BlockSpec((1, C), const),
-            pl.BlockSpec((1, C), const),
-            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
             pl.BlockSpec((bn, d), lambda bi, ni: (ni, 0)),
             pl.BlockSpec((bn, d), lambda bi, ni: (ni, 0)),
-            pl.BlockSpec((C, npad), const),
-            pl.BlockSpec((npad, C), const),
         ],
         out_specs=[
             pl.BlockSpec((1, nh, bn, d), lambda bi, ni: (bi, 0, ni, 0)),
@@ -212,7 +137,6 @@ def fused_qkv_kernel(
         out_shape=[
             jax.ShapeDtypeStruct((B, nh, N, d), x.dtype) for _ in range(3)
         ],
-        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(
         x,
@@ -220,14 +144,12 @@ def fused_qkv_kernel(
         ln_bias.reshape(1, C).astype(jnp.float32),
         w.astype(x.dtype),
         b.reshape(1, 3 * C).astype(jnp.float32),
-        tile_h(qn_scale),
-        tile_h(qn_bias),
-        tile_h(kn_scale),
-        tile_h(kn_bias),
+        qn_scale.reshape(1, d).astype(jnp.float32),
+        qn_bias.reshape(1, d).astype(jnp.float32),
+        kn_scale.reshape(1, d).astype(jnp.float32),
+        kn_bias.reshape(1, d).astype(jnp.float32),
         cos.astype(jnp.float32),
         sin.astype(jnp.float32),
-        seg,
-        seg.T,
     )
     return q, k, v
 

@@ -22,3 +22,44 @@ def import_reference():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     return torch
+
+
+def import_reference_trainer():
+    """Import the reference's ``train/train_imc.py`` module (the composed
+    ``compute_loss`` + ``prepare_model_input`` oracle).
+
+    The reference imports an ``eval`` package missing from the snapshot
+    (``train_imc.py:26``; see SURVEY §0) plus ``natsort``/``torchvision``
+    which are not installed here; none of them are touched by the functions
+    under test, so stub just enough for the import to succeed.
+    """
+    import types
+
+    torch = import_reference()
+    train_root = os.path.join(REFERENCE_ROOT, "train")
+    if train_root not in sys.path:
+        sys.path.insert(0, train_root)
+    for name, attrs in [
+        ("eval", {}),
+        ("eval.utils", {}),
+        ("eval.utils.geometry",
+         {"save_pointcloud_with_plyfile": lambda *a, **k: None}),
+        ("natsort", {"natsorted": sorted}),
+        ("torchvision", {}),
+        ("torchvision.transforms", {}),
+    ]:
+        if name in sys.modules:
+            continue
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+    sys.modules["eval"].utils = sys.modules["eval.utils"]
+    sys.modules["eval.utils"].geometry = sys.modules["eval.utils.geometry"]
+    if not hasattr(sys.modules["torchvision"], "transforms"):
+        sys.modules["torchvision"].transforms = (
+            sys.modules["torchvision.transforms"]
+        )
+    import train_imc
+
+    return torch, train_imc
