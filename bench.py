@@ -173,6 +173,7 @@ def bench_train(out: dict) -> None:
         loss = float(metrics["loss"])
         times.append((_t.perf_counter() - t0) / (TITERS + 1))
     dt = float(np.median(times))
+    spread = float(max(times) - min(times))
 
     P = (IMG // 14) ** 2 + 5
     # fwd FLOPs: S anchors + S queries (duplicated layout); bwd ~= 2x fwd.
@@ -182,6 +183,7 @@ def bench_train(out: dict) -> None:
     tf = 3.0 * fwd
     out["train"] = {
         "step_seconds": round(dt, 4),
+        "step_seconds_spread": round(spread, 4),
         "steps_per_sec": round(1.0 / dt, 3),
         "scenes_per_sec": round(1.0 / dt, 3),
         "compile_plus_first_chain_seconds": round(compile_s, 1),
@@ -264,6 +266,7 @@ def bench_inference() -> dict:
         float(compiled(params, images, key))
         times.append((time.perf_counter() - t0) / ITERS)
     dt = float(np.median(times))
+    spread = float(max(times) - min(times))
 
     frames_per_sec = NUM_FRAMES / dt
     out = {
@@ -277,6 +280,9 @@ def bench_inference() -> dict:
             "reference publishes no numbers)"
         ),
         "step_seconds": round(dt, 4),
+        # max-min over the 3 chained measurements: attributes run-to-run
+        # movement (box load, cache state) vs real code deltas
+        "step_seconds_spread": round(spread, 4),
         "compile_seconds": round(compile_s, 1),
         "trunk_tflops": round(flops / dt / 1e12, 1),
         "trunk_mfu": round(flops / dt / PEAK_BF16_FLOPS, 4),
@@ -311,6 +317,9 @@ def bench_inference() -> dict:
         rdt = float(np.median(rtimes))
         out["reloc_frames_per_sec"] = round(NUM_FRAMES / rdt, 3)
         out["reloc_step_seconds"] = round(rdt, 4)
+        out["reloc_step_seconds_spread"] = round(
+            float(max(rtimes) - min(rtimes)), 4
+        )
         out["cache_build_first_call_seconds"] = round(build_s, 1)
         out["cache_build_warm_seconds"] = round(build_warm_s, 4)
 

@@ -445,8 +445,8 @@ double shard_linearize(Shard& sh, const double* cam, double lambda,
 // dependency/np_to_pycolmap.py). At large C the reduced system is sparse:
 // block (a, b) is nonzero only if cameras a and b co-observe a point. This
 // path stores S as block-CSR of 6x6 blocks over the covisibility pattern and
-// solves with block-Jacobi-preconditioned CG — O(nnz) memory, O(nnz * iters)
-// time.
+// solves with CG preconditioned by a block IC(0) incomplete Cholesky
+// (block-Jacobi fallback on breakdown) — O(nnz) memory, O(nnz * iters) time.
 // ---------------------------------------------------------------------------
 
 struct BlockS {
@@ -624,11 +624,164 @@ bool inv6(const double* A, double* out) {
   return true;
 }
 
-// y = (S + lambda I) x, parallel over block rows.
+// 6x6 Cholesky A = L L^T (row-major, L lower). False on a non-SPD pivot.
+bool chol6(const double* A, double* L) {
+  std::memset(L, 0, 36 * sizeof(double));
+  for (int i = 0; i < 6; i++) {
+    for (int j = 0; j <= i; j++) {
+      double s = A[i * 6 + j];
+      for (int k = 0; k < j; k++) s -= L[i * 6 + k] * L[j * 6 + k];
+      if (i == j) {
+        if (s <= 1e-14) return false;
+        L[i * 6 + i] = std::sqrt(s);
+      } else {
+        L[i * 6 + j] = s / L[j * 6 + j];
+      }
+    }
+  }
+  return true;
+}
+
+// Solve L x = b (L lower 6x6), in place allowed (x may alias b).
+inline void lsolve6(const double* L, const double* b, double* x) {
+  for (int i = 0; i < 6; i++) {
+    double s = b[i];
+    for (int k = 0; k < i; k++) s -= L[i * 6 + k] * x[k];
+    x[i] = s / L[i * 6 + i];
+  }
+}
+
+// Solve L^T x = b.
+inline void ltsolve6(const double* L, const double* b, double* x) {
+  for (int i = 5; i >= 0; i--) {
+    double s = b[i];
+    for (int k = i + 1; k < 6; k++) s -= L[k * 6 + i] * x[k];
+    x[i] = s / L[i * 6 + i];
+  }
+}
+
+// Block incomplete Cholesky IC(0) of (S + lambda I) on S's lower pattern —
+// the Schur system's covisibility graph is near-banded for trajectory
+// scenes, so zero-fill-in Cholesky captures most of the coupling that
+// block-Jacobi (Ceres's SCHUR_JACOBI) ignores, cutting CG iterations by an
+// order of magnitude in the 100-500 camera regime (BA_BENCH.json).
+struct BlockIC {
+  int C = 0;
+  std::vector<int> row_start, col;  // lower triangle incl. diagonal
+  std::vector<int> diag;            // entry index of (i, i) per row
+  std::vector<double> blk;          // nnz * 36
+
+  int find(int r, int c) const {
+    int lo = row_start[r], hi = row_start[r + 1];
+    while (lo < hi) {
+      int mid = (lo + hi) / 2;
+      if (col[mid] < c) lo = mid + 1; else hi = mid;
+    }
+    return (lo < row_start[r + 1] && col[lo] == c) ? lo : -1;
+  }
+};
+
+// Build the IC(0) factor. Returns false on breakdown (caller falls back to
+// block-Jacobi for this solve).
+bool ic0_factor(const BlockS& S, double lambda, BlockIC& L) {
+  const int C = S.C;
+  if (L.C != C) {
+    L.C = C;
+    L.row_start.assign(C + 1, 0);
+    L.col.clear();
+    L.diag.assign(C, -1);
+    for (int r = 0; r < C; r++) {
+      for (int e = S.row_start[r]; e < S.row_start[r + 1]; e++)
+        if (S.col[e] <= r) {
+          if (S.col[e] == r) L.diag[r] = (int)L.col.size();
+          L.col.push_back(S.col[e]);
+        }
+      L.row_start[r + 1] = (int)L.col.size();
+    }
+    L.blk.assign(size_t(L.col.size()) * 36, 0.0);
+  }
+  double tmp[36], D[36];
+  for (int i = 0; i < C; i++) {
+    for (int e = L.row_start[i]; e < L.row_start[i + 1]; e++) {
+      int k = L.col[e];
+      // B = S_ik  (+ lambda I on the diagonal block)
+      const double* Sik = &S.blk[size_t(S.find(i, k)) * 36];
+      std::memcpy(tmp, Sik, sizeof(tmp));
+      if (k == i)
+        for (int d = 0; d < 6; d++) tmp[d * 6 + d] += lambda;
+      // B -= sum_j L_ij L_kj^T over the shared leading columns j < k
+      int ei = L.row_start[i], ek = L.row_start[k];
+      while (ei < e && ek < L.diag[k]) {
+        if (L.col[ei] < L.col[ek]) ei++;
+        else if (L.col[ei] > L.col[ek]) ek++;
+        else {
+          const double* A = &L.blk[size_t(ei) * 36];
+          const double* B = &L.blk[size_t(ek) * 36];
+          for (int r = 0; r < 6; r++)
+            for (int c = 0; c < 6; c++) {
+              double s = 0;
+              for (int t = 0; t < 6; t++) s += A[r * 6 + t] * B[c * 6 + t];
+              tmp[r * 6 + c] -= s;
+            }
+          ei++; ek++;
+        }
+      }
+      double* Le = &L.blk[size_t(e) * 36];
+      if (k < i) {
+        // L_ik = B * L_kk^-T: solve L_kk y = B_row^T per row
+        const double* Lkk = &L.blk[size_t(L.diag[k]) * 36];
+        for (int r = 0; r < 6; r++) {
+          double b[6], x[6];
+          for (int c = 0; c < 6; c++) b[c] = tmp[r * 6 + c];
+          lsolve6(Lkk, b, x);
+          for (int c = 0; c < 6; c++) Le[r * 6 + c] = x[c];
+        }
+      } else {
+        std::memcpy(D, tmp, sizeof(D));
+        if (!chol6(D, Le)) return false;
+      }
+    }
+  }
+  return true;
+}
+
+// z = (L L^T)^-1 r.
+void ic0_apply(const BlockIC& L, const double* r, double* z) {
+  const int C = L.C;
+  // forward: L y = r
+  for (int i = 0; i < C; i++) {
+    double acc[6];
+    for (int d = 0; d < 6; d++) acc[d] = r[i * 6 + d];
+    for (int e = L.row_start[i]; e < L.diag[i]; e++) {
+      const double* B = &L.blk[size_t(e) * 36];
+      const double* yk = z + L.col[e] * 6;
+      for (int a = 0; a < 6; a++)
+        for (int b = 0; b < 6; b++) acc[a] -= B[a * 6 + b] * yk[b];
+    }
+    lsolve6(&L.blk[size_t(L.diag[i]) * 36], acc, z + i * 6);
+  }
+  // backward: L^T z = y (column-oriented over L's rows)
+  for (int i = C - 1; i >= 0; i--) {
+    double x[6];
+    ltsolve6(&L.blk[size_t(L.diag[i]) * 36], z + i * 6, x);
+    for (int d = 0; d < 6; d++) z[i * 6 + d] = x[d];
+    for (int e = L.row_start[i]; e < L.diag[i]; e++) {
+      const double* B = &L.blk[size_t(e) * 36];
+      double* zk = z + L.col[e] * 6;
+      for (int a = 0; a < 6; a++)
+        for (int b = 0; b < 6; b++) zk[b] -= B[a * 6 + b] * x[a];
+    }
+  }
+}
+
+// y = (S + lambda I) x, parallel over block rows (serial below ~1k cameras:
+// the matvec is a few hundred KB and the OpenMP region fork costs more than
+// the loop).
 void bs_matvec(const BlockS& S, double lambda, const double* x, double* y) {
   const int C = S.C;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) num_threads(thread_count(0))
+#pragma omp parallel for schedule(static) \
+    num_threads(C >= 1024 ? thread_count(0) : 1)
 #endif
   for (int r = 0; r < C; r++) {
     double acc[6] = {0, 0, 0, 0, 0, 0};
@@ -642,27 +795,39 @@ void bs_matvec(const BlockS& S, double lambda, const double* x, double* y) {
   }
 }
 
-// Block-Jacobi PCG on (S + lambda I) dx = rhs. Returns 0 on convergence
-// (||r|| <= tol * ||rhs||), 1 otherwise (caller raises lambda).
+// PCG on (S + lambda I) dx = rhs, preconditioned with block IC(0) (falls
+// back to block-Jacobi if the incomplete factorization breaks down).
+// Returns 0 on convergence (||r|| <= tol * ||rhs||), 1 on maxit with the
+// best iterate left in x (an inexact-Newton step the LM driver can still
+// try — discarding it wastes the whole solve), 2 if the system is not SPD
+// at this damping and x is unusable.
 int pcg_solve(const BlockS& S, const double* rhs, double lambda, double tol,
-              int maxit, double* x, int* iters_out) {
+              int maxit, double* x, int* iters_out, BlockIC* ic_scratch) {
   const int C = S.C, n = 6 * C;
-  std::vector<double> Minv(size_t(C) * 36);
-  for (int c = 0; c < C; c++) {
-    double D[36];
-    int e = S.find(c, c);
-    std::memcpy(D, &S.blk[size_t(e) * 36], sizeof(D));
-    for (int i = 0; i < 6; i++) D[i * 6 + i] += lambda;
-    if (!inv6(D, &Minv[size_t(c) * 36])) {
-      // fall back to scalar Jacobi on this block
-      std::memset(&Minv[size_t(c) * 36], 0, sizeof(D));
-      for (int i = 0; i < 6; i++) {
-        double d = D[i * 6 + i];
-        Minv[size_t(c) * 36 + i * 6 + i] = d > 1e-14 ? 1.0 / d : 0.0;
+  const bool use_ic0 = ic_scratch && ic0_factor(S, lambda, *ic_scratch);
+  std::vector<double> Minv;
+  if (!use_ic0) {
+    Minv.resize(size_t(C) * 36);
+    for (int c = 0; c < C; c++) {
+      double D[36];
+      int e = S.find(c, c);
+      std::memcpy(D, &S.blk[size_t(e) * 36], sizeof(D));
+      for (int i = 0; i < 6; i++) D[i * 6 + i] += lambda;
+      if (!inv6(D, &Minv[size_t(c) * 36])) {
+        // fall back to scalar Jacobi on this block
+        std::memset(&Minv[size_t(c) * 36], 0, sizeof(D));
+        for (int i = 0; i < 6; i++) {
+          double d = D[i * 6 + i];
+          Minv[size_t(c) * 36 + i * 6 + i] = d > 1e-14 ? 1.0 / d : 0.0;
+        }
       }
     }
   }
   auto apply_M = [&](const double* r, double* z) {
+    if (use_ic0) {
+      ic0_apply(*ic_scratch, r, z);
+      return;
+    }
     for (int c = 0; c < C; c++) {
       const double* Mi = &Minv[size_t(c) * 36];
       const double* rc = r + c * 6;
@@ -691,7 +856,7 @@ int pcg_solve(const BlockS& S, const double* rhs, double lambda, double tol,
   for (int it = 0; it < maxit; it++) {
     bs_matvec(S, lambda, p.data(), Ap.data());
     double pAp = dot(p.data(), Ap.data());
-    if (pAp <= 0) return 1;  // not SPD at this damping
+    if (pAp <= 0) return it == 0 ? 2 : 1;  // not SPD at this damping
     double alpha = rz / pAp;
     for (int i = 0; i < n; i++) { x[i] += alpha * p[i]; r[i] -= alpha * Ap[i]; }
     *iters_out = it + 1;
@@ -856,10 +1021,13 @@ int ba_solve(int num_cams, int num_pts, int num_obs,
     ba_apply_cam_step(cam_params, dc.data(), num_cams, cam_new.data());
     double new_cost = ba_shard_trial(h, cam_new.data(), dc.data());
     if (new_cost < cost) {
+      double drop = cost - new_cost;
       cost = new_cost;
       lambda = std::fmax(lambda * 0.5, 1e-9);
       std::memcpy(cam_params, cam_new.data(), 6 * num_cams * sizeof(double));
       ba_shard_accept(h);
+      // relative function tolerance (same stop as the PCG path)
+      if (drop <= 1e-6 * cost) { it++; break; }
     } else {
       lambda = std::fmin(lambda * 4.0, 1e8);
     }
@@ -872,8 +1040,8 @@ int ba_solve(int num_cams, int num_pts, int num_obs,
 }
 
 // ---------------------------------------------------------------------------
-// Large-scene single-call API: block-sparse Schur + block-Jacobi PCG.
-// Same contract as ba_solve; use when num_cams is large (the dense
+// Large-scene single-call API: block-sparse Schur + IC(0)-preconditioned
+// CG with an inexact-Newton forcing tolerance. Same contract as ba_solve; use when num_cams is large (the dense
 // reduced system is O(C^2) memory / O(C^3) solve). cg_tol ~ 1e-6,
 // cg_maxit ~ 500 are good defaults. Reports total CG iterations.
 // ---------------------------------------------------------------------------
@@ -899,24 +1067,41 @@ int ba_solve_pcg(int num_cams, int num_pts, int num_obs,
   double cost = ba_shard_cost(h, cam_params);
   int it = 0;
   *cg_iters_total = 0;
+  BlockIC ic;
+  // Inexact-Newton forcing sequence: early LM iterations solve the linear
+  // system loosely (the quadratic model is wrong far from the optimum
+  // anyway) and the tolerance tightens toward cg_tol with every accepted
+  // step — Ceres's eta strategy. Combined with IC(0) this cuts total CG
+  // iterations by >10x vs fixed-tolerance block-Jacobi (BA_BENCH.json).
+  double forcing = std::fmax(cg_tol, 1e-2);
   for (; it < max_iters; it++) {
     std::fill(rhs.begin(), rhs.end(), 0.0);
     shard_linearize_sparse(*sh, cam_params, lambda, S, rhs.data());
+    double gn = 0;
+    for (int i = 0; i < n; i++) gn += rhs[i] * rhs[i];
+    // converged: the gradient is numerically zero — further solves only
+    // burn CG iterations on the gauge-singular low-damping system
+    if (std::sqrt(gn) <= 1e-8 * (1.0 + cost)) break;
     int cg_it = 0;
-    if (pcg_solve(S, rhs.data(), lambda, cg_tol, cg_maxit, dc.data(),
-                  &cg_it) != 0) {
-      *cg_iters_total += cg_it;
+    int rc = pcg_solve(S, rhs.data(), lambda, forcing, cg_maxit, dc.data(),
+                       &cg_it, &ic);
+    *cg_iters_total += cg_it;
+    if (rc == 2) {  // not SPD: no usable step
       lambda *= 10.0;
       continue;
     }
-    *cg_iters_total += cg_it;
+    // rc == 1 (maxit) still left an inexact step in dc — try it
     ba_apply_cam_step(cam_params, dc.data(), num_cams, cam_new.data());
     double new_cost = ba_shard_trial(h, cam_new.data(), dc.data());
     if (new_cost < cost) {
+      double drop = cost - new_cost;
       cost = new_cost;
       lambda = std::fmax(lambda * 0.5, 1e-9);
+      forcing = std::fmax(cg_tol, forcing * 0.3);
       std::memcpy(cam_params, cam_new.data(), 6 * num_cams * sizeof(double));
       ba_shard_accept(h);
+      // relative function tolerance (Ceres's function_tolerance default)
+      if (drop <= 1e-6 * cost) { it++; break; }
     } else {
       lambda = std::fmin(lambda * 4.0, 1e8);
     }

@@ -68,11 +68,18 @@ def make_config(
     intermediate_layer_idx=(4, 11, 17, 23),
     compute_dtype: str = "float32",
     remat: bool = False,
+    vit_remat: bool = False,
     attn_impl: str = "auto",
     global_attn_impl: str = "auto",
 ) -> SailReconConfig:
     """Build a consistent config tree (flagship defaults = the reference's
-    ViT-L/14 @ 518 with 24 aggregator layers)."""
+    ViT-L/14 @ 518 with 24 aggregator layers).
+
+    ``remat`` checkpoints the aggregator scan body; ``vit_remat`` the ViT
+    blocks (independent: at mid depths the fastest fitting train config is
+    often ViT-rematted + aggregator held — the ViT is a small share of the
+    recompute cost but a large share of the stored activations).
+    """
     vit_embed_dim = vit_embed_dim or embed_dim
     vit_num_heads = vit_num_heads or num_heads
     vit = ViTConfig(
@@ -82,6 +89,7 @@ def make_config(
         depth=vit_depth,
         num_heads=vit_num_heads,
         attn_impl=attn_impl,
+        remat=vit_remat,
     )
     agg = AggregatorConfig(
         img_size=img_size,
