@@ -486,6 +486,11 @@ def aggregator_build_cache(
         t = t.reshape(B, A, Ptok, C)
         frame_out = t
         down = jnp.take_along_axis(t, idx_l[..., None], axis=2).reshape(B, A * R5, C)
+        # the compressed-scene token axis (A*R5) context-shards: the cache
+        # this produces is the scan output below, and keeping it sharded is
+        # what lets scenes grow past one chip's HBM (SURVEY §2.6; budget in
+        # SCENE_SHARDED_r03.json)
+        down = constrain(down, DATA_AXIS, CONTEXT_AXIS, None)
         down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
         down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
         kv = block_context_kv(rp, down, bcfg, (down_cos, down_sin))

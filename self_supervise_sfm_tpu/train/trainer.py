@@ -78,6 +78,15 @@ class TrainerConfig:
     # (view with tensorboard / xprof). 0 disables.
     profile_start: int = 0
     profile_steps: int = 0
+    # CDF-range curriculum: anneal loss.max_val to ``loss_max_val_final`` at
+    # step ``loss_switch_step`` (0 disables). Training far from a pretrained
+    # init needs a wide histogram (residuals past max_val saturate the CDF
+    # at 2.0 with zero gradient, cdf_loss.py:235-240); once residuals shrink
+    # the range tightens to the reference's hyperparameter
+    # (max_val=15, train_imc.py:332-336). Implemented as a second jitted
+    # step function — one extra compile at the switch step.
+    loss_max_val_final: float = 0.0
+    loss_switch_step: int = 0
     # data plane: None = auto (C++ loader when cpp/dataplane builds — decode,
     # preprocess and sampling off the GIL), False = pure python/PIL
     native_loader: "bool | None" = None
@@ -330,6 +339,13 @@ def run(cfg: TrainerConfig):
 
     with Sh.activate_mesh(mesh):
         step_fn = make_train_step(model_cfg, tcfg)
+        step_fn_final = None
+        if cfg.loss_switch_step and cfg.loss_max_val_final:
+            tcfg_final = replace(
+                tcfg,
+                loss=replace(tcfg.loss, max_val=cfg.loss_max_val_final),
+            )
+            step_fn_final = make_train_step(model_cfg, tcfg_final)
         eval_fwd = make_eval_forward(model_cfg, tcfg)
 
         def diag_params(params):
@@ -388,8 +404,11 @@ def run(cfg: TrainerConfig):
                 {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)},
                 mesh, process_local=process_local_batch,
             )
+            fn = (step_fn_final
+                  if step_fn_final is not None and step >= cfg.loss_switch_step
+                  else step_fn)
             with jax.profiler.StepTraceAnnotation("train", step_num=step):
-                state, metrics = step_fn(state, batch)
+                state, metrics = fn(state, batch)
             step = int(state["step"])
             if profiling and step >= cfg.profile_start + cfg.profile_steps:
                 jax.block_until_ready(metrics)
@@ -439,7 +458,11 @@ def run(cfg: TrainerConfig):
                 dump_artifacts(step, preds, tcfg, host_batch, cfg.results_dir)
             if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
                 save_state(step)
-    save_state(step)
+    # checkpoint_every=0 opts out of ALL saves (through the remote-TPU
+    # tunnel a full-state device_get is minutes of wall clock; profiling and
+    # curve runs don't want it)
+    if cfg.checkpoint_every:
+        save_state(step)
     ckpt.wait()
     ckpt.close()
     writer.close()
@@ -494,6 +517,10 @@ def main():
                          "Residuals past it saturate the CDF and stop "
                          "producing gradient — raise it when training far "
                          "from a pretrained init (random-init smoke runs)")
+    ap.add_argument("--loss-max-val-final", type=float, default=0.0,
+                    help="anneal the CDF range to this max_val at "
+                         "--loss-switch-step (0 disables)")
+    ap.add_argument("--loss-switch-step", type=int, default=0)
     args = ap.parse_args()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -511,6 +538,8 @@ def main():
         seed=args.seed,
         profile_start=args.profile_start,
         profile_steps=args.profile_steps,
+        loss_max_val_final=args.loss_max_val_final,
+        loss_switch_step=args.loss_switch_step,
         checkpoint_every=args.checkpoint_every,
         artifact_every=args.artifact_every,
         sanity_check_every=args.sanity_check_every,
