@@ -253,13 +253,16 @@ def pose_forward(
     num_query: int,
     rank: Optional[int] = None,
     subsample_key: Optional[jax.Array] = None,
+    fp64_decode: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Pose-only evaluation path (the ``co3d_forward`` equivalent,
     ``sail_recon.py:288-312``): aggregator + camera head, no dense heads.
 
-    Returns (extrinsics (B, Q, 3, 4), intrinsics (B, Q, 3, 3)) in fp32 (the
-    reference decodes in fp64; fp32 is the TPU-native precision and the
-    decode is a handful of transcendental ops on 9 numbers).
+    Returns (extrinsics (B, Q, 3, 4), intrinsics (B, Q, 3, 3)).
+    ``fp64_decode=True`` mirrors the reference's fp64 autocast around the
+    final encoding->pose decode (``sail_recon.py:304-311``) — on the host
+    (numpy float64; TPU fp64 is emulated), so the call is not jittable
+    end-to-end in that mode.
     """
     H, W = images.shape[2], images.shape[3]
     P0 = (H // cfg.aggregator.patch_size) * (W // cfg.aggregator.patch_size)
@@ -268,6 +271,8 @@ def pose_forward(
         rank if rank is not None else P0, subsample_key,
     )
     cam_maps = camera_head(p["camera_head"], taps[-1], cam_tok, cfg.camera)
+    if fp64_decode:
+        return G.pose_encoding_to_extri_intri_np64(cam_maps[-1], (H, W))
     return G.pose_encoding_to_extri_intri(cam_maps[-1], (H, W))
 
 

@@ -282,6 +282,56 @@ def pose_encoding_to_extri_intri(
     return extrinsics, intrinsics
 
 
+def pose_encoding_to_extri_intri_np64(
+    pose_encoding,
+    image_size_hw: Optional[Tuple[int, int]] = None,
+    build_intrinsics: bool = True,
+):
+    """Host-side float64 pose decode (numpy).
+
+    The reference's pose-only eval path decodes the final encoding under an
+    fp64 autocast (``sail_recon.py:304-311``). On TPU fp64 is emulated and
+    slow, so the fp64 variant runs on the host over the (..., 9) fp32
+    encoding — identical math to :func:`pose_encoding_to_extri_intri` at
+    double precision.
+    """
+    import numpy as np
+
+    enc = np.asarray(pose_encoding, np.float64)
+    T = enc[..., :3]
+    q = enc[..., 3:7]
+    i, j, k, r = np.moveaxis(q, -1, 0)
+    two_s = 2.0 / np.sum(q * q, axis=-1)
+    R = np.stack(
+        [
+            1 - two_s * (j * j + k * k),
+            two_s * (i * j - k * r),
+            two_s * (i * k + j * r),
+            two_s * (i * j + k * r),
+            1 - two_s * (i * i + k * k),
+            two_s * (j * k - i * r),
+            two_s * (i * k - j * r),
+            two_s * (j * k + i * r),
+            1 - two_s * (i * i + j * j),
+        ],
+        axis=-1,
+    ).reshape(q.shape[:-1] + (3, 3))
+    extrinsics = np.concatenate([R, T[..., None]], axis=-1)
+    intrinsics = None
+    if build_intrinsics:
+        assert image_size_hw is not None
+        H, W = image_size_hw
+        fy = (H / 2.0) / np.maximum(np.tan(enc[..., 7] / 2.0), 1e-6)
+        fx = (W / 2.0) / np.maximum(np.tan(enc[..., 8] / 2.0), 1e-6)
+        zeros = np.zeros_like(fx)
+        ones = np.ones_like(fx)
+        row0 = np.stack([fx, zeros, np.full_like(fx, W / 2.0)], axis=-1)
+        row1 = np.stack([zeros, fy, np.full_like(fy, H / 2.0)], axis=-1)
+        row2 = np.stack([zeros, zeros, ones], axis=-1)
+        intrinsics = np.stack([row0, row1, row2], axis=-2)
+    return extrinsics, intrinsics
+
+
 # ---------------------------------------------------------------------------
 # Depth unprojection (on-device; replaces the reference's CPU numpy path)
 # ---------------------------------------------------------------------------

@@ -227,3 +227,50 @@ class TestProjectionVsReference:
         )
         np.testing.assert_allclose(np.asarray(ours), ref_pts, rtol=1e-3, atol=1e-2)
         np.testing.assert_allclose(np.asarray(ours_cam), ref_cam, rtol=1e-4, atol=1e-4)
+
+
+class TestFp64PoseDecode:
+    def test_np64_matches_reference_torch_fp64(self, rng):
+        """The host fp64 decode (the co3d_forward fp64-autocast equivalent,
+        sail_recon.py:304-311) matches the reference decode run at
+        torch.float64 exactly to fp64 round-off."""
+        torch = pytest.importorskip("torch")
+        import sys
+        sys.path.insert(0, "/root/reference")
+        from sailrecon.utils.pose_enc import pose_encoding_to_extri_intri
+
+        enc = rng.normal(size=(2, 3, 9)).astype(np.float32)
+        enc[..., 7:9] = rng.uniform(0.3, 1.5, size=(2, 3, 2))  # sane FoV
+        H, W = 384, 512
+        ref_E, ref_K = pose_encoding_to_extri_intri(
+            torch.from_numpy(enc).to(torch.float64), (H, W)
+        )
+        ours_E, ours_K = G.pose_encoding_to_extri_intri_np64(enc, (H, W))
+        np.testing.assert_allclose(ours_E, ref_E.numpy(), rtol=1e-12, atol=1e-12)
+        # reference quirk: its intrinsics tensor is allocated by
+        # ``torch.zeros`` with the DEFAULT dtype (pose_enc.py:125), so even
+        # under the fp64 autocast the K it returns is float32 — and
+        # co3d_forward returns extrinsics only (sail_recon.py:312). Our
+        # decode keeps K in fp64; compare at fp32 tolerance.
+        assert ref_K.dtype == torch.float32
+        np.testing.assert_allclose(ours_K, ref_K.numpy(), rtol=1e-6)
+
+    def test_pose_forward_fp64_decode(self, rng):
+        """pose_forward(fp64_decode=True) == fp64 decode of the fp32 path's
+        encoding (same encodings, higher-precision decode)."""
+        from self_supervise_sfm_tpu.models import sailrecon as SM
+
+        cfg = SM.make_config(
+            img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+            intermediate_layer_idx=(0, 1, 2, 3), attn_impl="dense",
+        )
+        p = SM.init_sailrecon(jax.random.PRNGKey(0), cfg)
+        imgs = jnp.asarray(rng.uniform(size=(1, 3, 28, 28, 3)).astype(np.float32))
+        key = jax.random.PRNGKey(2)
+        E32, K32 = SM.pose_forward(p, cfg, imgs, num_anchor=2, num_query=1,
+                                   rank=2, subsample_key=key)
+        E64, K64 = SM.pose_forward(p, cfg, imgs, num_anchor=2, num_query=1,
+                                   rank=2, subsample_key=key, fp64_decode=True)
+        assert E64.dtype == np.float64
+        np.testing.assert_allclose(np.asarray(E32), E64, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(K32), K64, rtol=1e-5)
