@@ -201,21 +201,27 @@ def _dq_kernel(
     def _compute():
         # p is recomputed in log2 space (see forward): identical values,
         # native exp2 with the log2(e) factor folded into the f32 scale.
+        # Inputs are UNPADDED (as in the forward): key/value rows past
+        # nk_valid are OOB reads with undefined contents, so they are
+        # zero-selected at load — 0 * undefined is still nan, and a nan in a
+        # masked-out (p == 0) column would poison the dq row sums.
         q = q_ref[0]
-        k = k_ref[0]
+        k_row = k0 + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+        k = jnp.where(k_row < nk_valid, k_ref[0], 0.0)
+        v = jnp.where(k_row < nk_valid, v_ref[0], 0.0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)
         lse2 = lse_ref[0] * LOG2E  # (bq, 1) natural -> log2
+        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         if mask is not None:
-            k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             allowed = mask.allowed(q_idx, k_idx) & (k_idx < nk_valid)
-            p = jnp.where(allowed, jnp.exp2(s - lse2), 0.0)
         else:
-            p = jnp.exp2(s + _edge_bias(k0, bk, nk_valid) - lse2)
+            allowed = k_idx < nk_valid
+        p = jnp.where(allowed, jnp.exp2(s - lse2), 0.0)
         dov = jax.lax.dot_general(
-            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            do_ref[0], v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
         ds = p * (dov - delta_ref[0]) * sm_scale
@@ -232,7 +238,7 @@ def _dq_kernel(
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scratch, dv_scratch,
-    *, sm_scale, mask: Optional[RelocMask], nk_valid, bq, bk, d,
+    *, sm_scale, mask: Optional[RelocMask], nk_valid, nq_valid, bq, bk, d,
 ):
     """dk = sum_q ds^T @ q * scale;  dv = sum_q p^T @ do.
 
@@ -256,21 +262,30 @@ def _dkv_kernel(
 
     @pl.when(visible)
     def _compute():
-        # log2-space p recompute (see forward).
-        q = q_ref[0]
+        # log2-space p recompute (see forward). This kernel REDUCES over the
+        # query axis, so with unpadded inputs every q-side load (q, do, lse,
+        # delta) must zero its OOB rows — undefined contents in a garbage
+        # row would otherwise flow into the dk/dv sums via nan propagation —
+        # and p itself is zero-selected on q validity (zeroed q and lse give
+        # p = exp2(0) = 1 on garbage rows, not 0).
+        q_row = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        q_ok = q_row < nq_valid
+        q = jnp.where(q_ok, q_ref[0], 0.0)
+        do = jnp.where(q_ok, do_ref[0], 0.0)
+        lse2 = jnp.where(q_ok, lse_ref[0], 0.0) * LOG2E  # (bq, 1)
+        delta = jnp.where(q_ok, delta_ref[0], 0.0)
         k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2E)
-        lse2 = lse_ref[0] * LOG2E  # (bq, 1)
+        k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         if mask is not None:
-            k_idx = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            q_idx = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            allowed = mask.allowed(q_idx, k_idx) & (k_idx < nk_valid)
-            p = jnp.where(allowed, jnp.exp2(s - lse2), 0.0)  # (bq, bk)
+            allowed = (mask.allowed(q_idx, k_idx) & (k_idx < nk_valid)
+                       & (q_idx < nq_valid))
         else:
-            p = jnp.exp2(s + _edge_bias(k0, bk, nk_valid) - lse2)
-        do = do_ref[0]
+            allowed = (k_idx < nk_valid) & (q_idx < nq_valid)
+        p = jnp.where(allowed, jnp.exp2(s - lse2), 0.0)  # (bq, bk)
         dv_scratch[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -279,7 +294,7 @@ def _dkv_kernel(
             do, v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dov - delta_ref[0]) * sm_scale  # (bq, bk)
+        ds = p * (dov - delta) * sm_scale  # (bq, bk)
         dk_scratch[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -306,23 +321,15 @@ def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret, dlse=None):
         delta = delta - dlse.astype(jnp.float32)[..., None]
     lse = lse[..., None]  # (BH, Nq, 1)
 
-    nq_pad = _cdiv(Nq, bq) * bq
-    nk_pad = _cdiv(Nk, bk) * bk
-    if nq_pad != Nq:
-        pad = ((0, 0), (0, nq_pad - Nq), (0, 0))
-        q = jnp.pad(q, pad)
-        do = jnp.pad(do, pad)
-        lse = jnp.pad(lse, pad)
-        delta = jnp.pad(delta, pad)
-    if nk_pad != Nk:
-        pad = ((0, 0), (0, nk_pad - Nk), (0, 0))
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
+    # UNPADDED consume, mirroring the forward: ragged last tiles mask their
+    # stores; OOB reads are guarded inside the kernels (k/v zero-select in
+    # _dq, q-side zero-selects + q-validity in p for the reducing _dkv) —
+    # the pad/slice HBM round trips this replaces were ~3% of the train step
+    # (xprof "pad" at 294 GB/s).
     common = dict(sm_scale=sm_scale, mask=mask, nk_valid=Nk, bq=bq, bk=bk, d=d)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
-        grid=(BH, nq_pad // bq, nk_pad // bk),
+        grid=(BH, _cdiv(Nq, bq), _cdiv(Nk, bk)),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
@@ -332,14 +339,14 @@ def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret, dlse=None):
             pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, nq_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Nq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, **common),
-        grid=(BH, nk_pad // bk, nq_pad // bq),
+        functools.partial(_dkv_kernel, nq_valid=Nq, **common),
+        grid=(BH, _cdiv(Nk, bk), _cdiv(Nq, bq)),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
@@ -353,8 +360,8 @@ def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret, dlse=None):
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, nk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((BH, nk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((BH, Nk, d), k.dtype),
+            jax.ShapeDtypeStruct((BH, Nk, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),
@@ -362,7 +369,7 @@ def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret, dlse=None):
         ],
         interpret=interpret,
     )(q, k, v, do, lse, delta)
-    return dq[:, :Nq], dk[:, :Nk], dv[:, :Nk]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

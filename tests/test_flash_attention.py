@@ -159,3 +159,24 @@ class TestFlashBackward:
         gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gf, gd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_grads_match_dense_ragged_unpadded(self, rng):
+        """Nq AND Nk both non-tile-divisible through the UNPADDED backward
+        (the production 1374-token shape class): q-side OOB rows must not
+        leak into the dk/dv reductions."""
+        q, k, v = rand_qkv(rng, 1, 2, 150, 170, 64)
+        q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, None, bq=128, bk=128,
+                                interpret=True) ** 2
+            )
+
+        def loss_dense(q, k, v):
+            return jnp.sum(AC.sdpa_dense(q, k, v, None) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
