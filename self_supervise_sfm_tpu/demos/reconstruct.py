@@ -51,8 +51,13 @@ def load_params(cfg, pretrained: str, key):
     return M.init_sailrecon(key, cfg)
 
 
-def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key):
-    """images_np: (S, H, W, 3). Returns host predictions dict for S views."""
+def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key,
+                      chunk: int = 0):
+    """images_np: (S, H, W, 3). Returns host predictions dict for S views.
+
+    ``chunk`` > 0 relocalises in fixed-size query chunks (``reloc_chunked``,
+    the reference's ``memory_save``) — bounds peak memory for large scenes.
+    """
     images = jnp.asarray(images_np)[None]  # (1, S, H, W, 3)
     S = images.shape[1]
     if mode == "forward":
@@ -73,7 +78,12 @@ def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key):
             lambda p, x, k: M.build_scene_cache(p, cfg, x, rank=rank, subsample_key=k)
         )
         cache, cam_tok = build(params, images, key)
-        rel = jax.jit(lambda p, c, t, x: M.reloc(p, cfg, c, t, x))
+        if chunk > 0:
+            rel = jax.jit(
+                lambda p, c, t, x: M.reloc_chunked(p, cfg, c, t, x, chunk=chunk)
+            )
+        else:
+            rel = jax.jit(lambda p, c, t, x: M.reloc(p, cfg, c, t, x))
         preds = rel(params, cache, cam_tok, images)
     return jax.device_get(preds)
 
@@ -138,6 +148,9 @@ def main():
     ap.add_argument("--num-images", type=int, default=5)
     ap.add_argument("--img-size", type=int, default=518)
     ap.add_argument("--rank", type=int, default=300)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="reloc-mode query chunk size (0 = one batched "
+                         "call); the reference's memory_save equivalent")
     ap.add_argument("--num-scenes", type=int, default=3)
     ap.add_argument("--pretrained", default="")
     ap.add_argument("--compute-dtype", default="bfloat16")
@@ -171,7 +184,7 @@ def main():
         t0 = time.perf_counter()
         preds = reconstruct_scene(
             params, cfg, scene["images"], args.mode, args.rank,
-            jax.random.fold_in(key, si),
+            jax.random.fold_in(key, si), chunk=args.chunk,
         )
         dt = time.perf_counter() - t0
         S = scene["images"].shape[0]
