@@ -230,3 +230,63 @@ def test_trainer_multiprocess_matches_single(tmp_path):
     np.testing.assert_allclose(
         multi["checksums"], single["checksums"], rtol=1e-5, atol=1e-6
     )
+
+
+def test_trainer_max_val_curriculum(tmp_path, monkeypatch):
+    """The CDF-range anneal switches step functions at --loss-switch-step:
+    metrics flow through the switch, the run completes, and checkpointing
+    can be fully disabled (checkpoint_every=0 writes nothing)."""
+    import json
+
+    from self_supervise_sfm_tpu.train import trainer as T
+    from self_supervise_sfm_tpu.train.loop import TrainConfig
+    from self_supervise_sfm_tpu.train.loss import LossConfig
+    from self_supervise_sfm_tpu.models import sailrecon as M
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=1, num_images=3,
+                           image_size=(40, 32))
+    orig_make = M.make_config
+
+    def tiny_make_config(**kw):
+        kw.update(
+            dict(img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+                 intermediate_layer_idx=(0, 1, 2, 3))
+        )
+        return orig_make(**kw)
+
+    monkeypatch.setattr(M, "make_config", tiny_make_config)
+
+    cfg = T.TrainerConfig(
+        data_root=root,
+        results_dir=str(tmp_path / "results"),
+        total_steps=4,
+        num_images=2,
+        sample_num=64,
+        img_size=28,
+        checkpoint_every=0,
+        artifact_every=0,
+        sanity_check_every=0,
+        log_every=1,
+        compute_dtype="float32",
+        remat=False,
+        rank=2,
+        loss_max_val_final=15.0,
+        loss_switch_step=2,
+        train=TrainConfig(max_lr=1e-4, warmup_steps=2, total_steps=4, rank=2,
+                          num_images=2,
+                          loss=LossConfig(num_bins=50, max_val=25.0)),
+    )
+    state = T.run(cfg)
+    assert int(state["step"]) == 4
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.results_dir, "tensorboard",
+                                   "metrics.jsonl"))
+        if '"train"' in l
+    ]
+    steps = [r["step"] for r in rows]
+    assert steps == [1, 2, 3, 4]
+    assert all(np.isfinite(r["loss"]) for r in rows)
+    # checkpoint_every=0: no state was ever written
+    assert not os.listdir(os.path.join(cfg.results_dir, "checkpoints"))
