@@ -671,15 +671,18 @@ def worth_it(q, k, v) -> bool:
     return q.shape[-2] * k.shape[-2] >= 1_500_000
 
 
-def _auto_block(n: int) -> int:
+def _auto_block(n: int, itemsize: int = 2) -> int:
     """Measured-on-v5e tile heuristic: a single padded tile up to 1536 tokens
     (no cross-tile softmax state traffic), 1024 beyond. The fp32 (bq, bk)
     logits tile must fit scoped VMEM (16 MB): 1536^2*4 = 9.4 MB fits with
     the q/k/v/acc buffers, 2032^2*4 = 16.5 MB does not (observed compile
-    OOM at N=2025); 1024 beat 512/768/1536 in the block sweep."""
-    if n <= 1536:
+    OOM at N=2025); 1024 beat 512/768/1536 in the block sweep. fp32 inputs
+    double the q/k/v block bytes, so their cap halves (observed scoped-VMEM
+    compile OOM at 1374 tokens fp32 with the bf16 caps)."""
+    cap1, cap2 = (1536, 1024) if itemsize <= 2 else (768, 512)
+    if n <= cap1:
         return _cdiv(n, 8) * 8
-    return 1024
+    return cap2
 
 
 def flash_attention(
@@ -694,8 +697,8 @@ def flash_attention(
         interpret = jax.default_backend() != "tpu"
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
-    bq = bq or _auto_block(Nq)
-    bk = bk or _auto_block(Nk)
+    bq = bq or _auto_block(Nq, q.dtype.itemsize)
+    bk = bk or _auto_block(Nk, q.dtype.itemsize)
     bq = int(min(bq, _cdiv(max(128, Nq), 8) * 8))
     bk = int(min(bk, _cdiv(max(128, Nk), 8) * 8))
     out = _flash_mha(
@@ -724,8 +727,8 @@ def flash_attention_lse(
         interpret = jax.default_backend() != "tpu"
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
-    bq = bq or _auto_block(Nq)
-    bk = bk or _auto_block(Nk)
+    bq = bq or _auto_block(Nq, q.dtype.itemsize)
+    bk = bk or _auto_block(Nk, q.dtype.itemsize)
     bq = int(min(bq, _cdiv(max(128, Nq), 8) * 8))
     bk = int(min(bk, _cdiv(max(128, Nk), 8) * 8))
     out, lse = _flash_mha_lse(
