@@ -42,16 +42,6 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _edge_bias(k0, bk, nk_valid):
-    """(1, bk) additive bias masking key columns past ``nk_valid``.
-
-    A row vector + broadcast add costs one VPU pass over the (bq, bk) tile —
-    vs three (iota, compare, select) for the elementwise-predicate form.
-    """
-    kcol = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-    return jnp.where(kcol < nk_valid, 0.0, NEG_INF)
-
-
 def _kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
