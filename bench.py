@@ -196,8 +196,9 @@ def bench_train(out: dict) -> None:
             "params_m": round(n_params / 1e6),
             "note": (
                 "largest single-chip-fitting config; flagship (depth 24, "
-                "1.49B params) needs 22.4 GB > 15.75 GB HBM with full Adam "
-                "(see tools/train_memory_probe.py) and trains via FSDP"
+                "1.49B params) needs 22.4 GB > 15.75 GB HBM even with remat "
+                "+ bf16 Adam mu (real-TPU AOT probe) and trains via FSDP "
+                "at >= 8 chips (FSDP_MEM_r03.json)"
             ),
         },
     }
