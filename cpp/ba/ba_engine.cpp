@@ -670,15 +670,6 @@ struct BlockIC {
   std::vector<int> row_start, col;  // lower triangle incl. diagonal
   std::vector<int> diag;            // entry index of (i, i) per row
   std::vector<double> blk;          // nnz * 36
-
-  int find(int r, int c) const {
-    int lo = row_start[r], hi = row_start[r + 1];
-    while (lo < hi) {
-      int mid = (lo + hi) / 2;
-      if (col[mid] < c) lo = mid + 1; else hi = mid;
-    }
-    return (lo < row_start[r + 1] && col[lo] == c) ? lo : -1;
-  }
 };
 
 // Build the IC(0) factor. Returns false on breakdown (caller falls back to

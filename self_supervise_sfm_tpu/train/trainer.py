@@ -78,8 +78,10 @@ class TrainerConfig:
     # (view with tensorboard / xprof). 0 disables.
     profile_start: int = 0
     profile_steps: int = 0
-    # CDF-range curriculum: anneal loss.max_val to ``loss_max_val_final`` at
-    # step ``loss_switch_step`` (0 disables). Training far from a pretrained
+    # CDF-range curriculum: steps AFTER ``loss_switch_step`` train with
+    # loss.max_val = ``loss_max_val_final`` (0 disables; the step numbered
+    # loss_switch_step itself still uses the wide range — switch_step must be
+    # < total_steps for the curriculum to engage). Training far from a pretrained
     # init needs a wide histogram (residuals past max_val saturate the CDF
     # at 2.0 with zero gradient, cdf_loss.py:235-240); once residuals shrink
     # the range tightens to the reference's hyperparameter
@@ -341,6 +343,10 @@ def run(cfg: TrainerConfig):
         step_fn = make_train_step(model_cfg, tcfg)
         step_fn_final = None
         if cfg.loss_switch_step and cfg.loss_max_val_final:
+            assert cfg.loss_switch_step < cfg.total_steps, (
+                "loss_switch_step must be < total_steps or the curriculum "
+                "never engages (steps AFTER the switch use the final range)"
+            )
             tcfg_final = replace(
                 tcfg,
                 loss=replace(tcfg.loss, max_val=cfg.loss_max_val_final),
@@ -518,8 +524,8 @@ def main():
                          "producing gradient — raise it when training far "
                          "from a pretrained init (random-init smoke runs)")
     ap.add_argument("--loss-max-val-final", type=float, default=0.0,
-                    help="anneal the CDF range to this max_val at "
-                         "--loss-switch-step (0 disables)")
+                    help="steps after --loss-switch-step train with this "
+                         "CDF max_val (0 disables)")
     ap.add_argument("--loss-switch-step", type=int, default=0)
     args = ap.parse_args()
     if args.debug_nans:

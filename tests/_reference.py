@@ -33,6 +33,7 @@ def import_reference_trainer():
     which are not installed here; none of them are touched by the functions
     under test, so stub just enough for the import to succeed.
     """
+    import importlib.util
     import types
 
     torch = import_reference()
@@ -50,6 +51,14 @@ def import_reference_trainer():
     ]:
         if name in sys.modules:
             continue
+        # stub ONLY when the real package is absent — a permanent stub
+        # would otherwise shadow an installed torchvision/natsort for the
+        # rest of the pytest process
+        try:
+            if importlib.util.find_spec(name) is not None:
+                continue
+        except (ImportError, ModuleNotFoundError):
+            pass
         m = types.ModuleType(name)
         for k, v in attrs.items():
             setattr(m, k, v)

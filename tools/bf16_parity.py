@@ -108,6 +108,15 @@ def budget(name, a, b):
     overflow at flagship scale regardless of dtype)."""
     fin = np.isfinite(a) & np.isfinite(b)
     out = {"finite_frac": float(fin.mean())}
+    if name in ("extrinsic", "intrinsic"):
+        # per-matrix stats need whole matrices: drop any CAMERA with a
+        # non-finite entry in either model (same exclusion protocol, at
+        # camera granularity)
+        cam_ok = fin.reshape(fin.shape[:-2] + (-1,)).all(-1)
+        a, b = a[cam_ok], b[cam_ok]
+        if a.size == 0:
+            out["no_finite_cameras"] = True
+            return out
     if name == "extrinsic":
         r = rot_deg(a[..., :3], b[..., :3])
         out["rotation_deg_max"] = float(r.max())

@@ -43,6 +43,7 @@ def main():
     import tempfile
 
     D = args.depth
+    assert D >= 4, "the DPT heads tap 4 distinct layers; need --depth >= 4"
     taps = tuple(int(round(i * (D - 1) / 3)) for i in range(1, 4))
     taps = (max(0, D // 6),) + taps
     vr = bool(args.remat) if args.vit_remat is None else bool(args.vit_remat)
