@@ -189,6 +189,12 @@ def bench_train(out: dict) -> None:
         "compile_plus_first_chain_seconds": round(compile_s, 1),
         "loss_first": round(first, 4),
         "loss_after": round(loss, 4),
+        "loss_note": (
+            "throughput bench from RANDOM init at the reference max_val=15: "
+            "residuals saturate the CDF range (sentinel 2.0) within a few "
+            "steps — expected, zero-gradient by design (cdf_loss.py:235-240);"
+            " convergence behaviour is TRAIN_CURVE_r03.json's curriculum run"
+        ),
         "train_tflops": round(tf / dt / 1e12, 1),
         "train_mfu": round(tf / dt / PEAK_BF16_FLOPS, 4),
         "config": {
