@@ -122,6 +122,21 @@ def main():
         log(f"reloc A={A} Q=16 chunk=4: peak {gb:.2f} GB")
         results["reloc"].append(row)
 
+    ra = [r["anchors_cached"] for r in results["reloc"]]
+    rp = [r["peak_gb"] for r in results["reloc"]]
+    rslope = (rp[-1] - rp[0]) / (ra[-1] - ra[0])
+    rbase = rp[0] - rslope * ra[0]
+    smax_reloc = int((HBM_GB - rbase) / rslope)
+    results["reloc_fit"] = {
+        "gb_per_cached_anchor": round(rslope, 4),
+        "base_gb": round(rbase, 3),
+        "s_max_anchors_reloc": smax_reloc,
+        "note": "beyond S_max, shard the scene over the context axis "
+                "(SCENE_SHARDED_r03.json)",
+    }
+    log(f"reloc: {rslope:.4f} GB/anchor + {rbase:.2f} GB base "
+        f"-> S_max ~ {smax_reloc} cached anchors")
+
     out_path = os.path.join(REPO, "SCENE_CAPACITY.json")
     results["wall_seconds"] = round(time.time() - t0, 1)
     with open(out_path, "w") as f:
