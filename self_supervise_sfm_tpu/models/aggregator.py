@@ -75,6 +75,15 @@ class AggregatorConfig:
     # with context extent > 1 is active, keeping K/V sharded across devices
     # instead of all-gathered.
     global_attn_impl: str = "auto"
+    # scene-cache storage layout. False: (depth, B, H, N, 64) — the layout
+    # the flash kernels consume, but (…, N, 64) arrays lane-pad 64 -> 128
+    # under TPU T(8,128) tiling, so the RESIDENT cache costs 2x its true
+    # bytes (and XLA's while-loop windowed-DMA copy doubles it again).
+    # True (default): heads merged to (depth, B, N, C) — dense 128-lane
+    # tiling, ~1.5x more cached anchors per chip (S_max 130 -> 195,
+    # SCENE_CAPACITY.json) at measured-zero reloc speed cost (the per-layer
+    # head-split is transient). False keeps the raw kernel layout.
+    cache_packed: bool = True
 
     @property
     def patch_start_idx(self) -> int:
@@ -460,7 +469,9 @@ def aggregator_build_cache(
 
     Returns:
         (cache, cam_token_last_layer) with cache = dict(k, v) of shape
-        (depth, B, heads, A*(rank+5), head_dim).
+        (depth, B, heads, A*(rank+5), head_dim) — or, with
+        ``cfg.cache_packed``, heads merged to (depth, B, A*(rank+5), C)
+        for dense lane tiling (~2x more cached anchors per chip).
     """
     B, A, H, W, _ = anchor_images.shape
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
@@ -494,6 +505,12 @@ def aggregator_build_cache(
         down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
         down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
         kv = block_context_kv(rp, down, bcfg, (down_cos, down_sin))
+        if cfg.cache_packed:
+            # (B, H, N, d) -> (B, N, C): dense lane tiling for the stored
+            # cache (see AggregatorConfig.cache_packed)
+            kv = tuple(
+                t_.transpose(0, 2, 1, 3).reshape(B, A * R5, C) for t_ in kv
+            )
         g = constrain(t.reshape(B, A * Ptok, C), DATA_AXIS, CONTEXT_AXIS, None)
         if cfg.global_attn_impl in ("ring", "auto"):
             g = global_block_ring(gp, g, bcfg_g, t_global)
@@ -550,6 +567,16 @@ def aggregator_reloc(
         t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = frame_block_sharded(fp, t, bcfg, t_frame)
         frame_out = t.reshape(B, Q, Ptok, C)
+        if cfg.cache_packed:
+            # unpack this layer's (B, N, C) cache slice to the (B, H, N, d)
+            # kernel layout — transient, vs a 2x-padded resident cache
+            H_, d_ = cfg.num_heads, cfg.head_dim
+            kv_l = tuple(
+                t_.reshape(t_.shape[0], t_.shape[1], H_, d_).transpose(
+                    0, 2, 1, 3
+                )
+                for t_ in kv_l
+            )
         # reloc block against cached context K/V — frame-major layout: each
         # query frame attends [scene cache ‖ itself], expressed by the
         # (B*Q, P, C) vs (B, H, n_ctx, hd) batch split (no mask needed);

@@ -70,3 +70,45 @@ def test_200_anchor_scene_sharded_matches_single(rng):
             np.asarray(preds_sh[k]), np.asarray(preds_ref[k]),
             atol=5e-4, err_msg=k,
         )
+
+
+def test_packed_cache_matches_default(rng):
+    """The default packed cache (dense-lane (depth, B, N, C) storage) must
+    produce identical reloc outputs to the raw per-head layout — it is a
+    pure relayout (build merges heads, reloc splits per layer)."""
+    import dataclasses
+
+    cfg_p = tiny_cfg()  # packed by default
+    cfg = dataclasses.replace(
+        cfg_p,
+        aggregator=dataclasses.replace(cfg_p.aggregator, cache_packed=False),
+    )
+    p = M.init_sailrecon(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(
+        rng.uniform(size=(1, 6, IMG, IMG, 3)).astype(np.float32))
+    queries = jnp.asarray(
+        rng.uniform(size=(1, 3, IMG, IMG, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    cache, cam = M.build_scene_cache(p, cfg, anchors, rank=RANK,
+                                     subsample_key=key)
+    preds = M.reloc(p, cfg, cache, cam, queries)
+    cache_p, cam_p = M.build_scene_cache(p, cfg_p, anchors, rank=RANK,
+                                         subsample_key=key)
+    preds_p = M.reloc(p, cfg_p, cache_p, cam_p, queries)
+
+    D, B = cfg.aggregator.depth, 1
+    Hh, dd = cfg.aggregator.num_heads, cfg.aggregator.head_dim
+    N = cache["k"].shape[3]
+    assert cache_p["k"].shape == (D, B, N, Hh * dd)
+    np.testing.assert_allclose(
+        np.asarray(cache_p["k"]),
+        np.asarray(cache["k"]).transpose(0, 1, 3, 2, 4).reshape(D, B, N, -1),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(cam_p), np.asarray(cam), atol=1e-6)
+    for k in ("extrinsic", "intrinsic", "depth_map", "point_map"):
+        np.testing.assert_allclose(
+            np.asarray(preds_p[k]), np.asarray(preds[k]), atol=1e-5,
+            err_msg=k,
+        )
