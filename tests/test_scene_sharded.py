@@ -1,8 +1,8 @@
 """Beyond-one-chip scene scale: a 200-anchor scene, built and relocalized
 with the context-sharded blocks, must match the single-device program.
 
-SCENE_CAPACITY.json bounds one v5e chip at ~199 cached anchors (build) /
-~121 (reloc) at flagship scale; growing past that is the "HBM-resident
+SCENE_CAPACITY.json bounds one v5e chip at ~199 anchors (build) /
+~195 cached anchors (reloc, packed cache) at flagship scale; growing past that is the "HBM-resident
 scene, shard to grow" design claim (SURVEY §2.6). This test executes that
 path at 200 anchors on an 8-device virtual mesh (tiny dims so CPU can run
 it): frame blocks shard over data x context, the global-attention token

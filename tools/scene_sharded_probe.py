@@ -1,8 +1,8 @@
 """Per-device memory budget of a beyond-one-chip scene, sharded.
 
 SCENE_CAPACITY.json bounds a single v5e chip at ~199 anchors (cache build)
-and ~121 cached anchors (full-head reloc) at flagship scale — both measured
-with the real TPU allocator. This probe records the budget for growing past
+and ~195 cached anchors (full-head reloc, packed cache) at flagship scale —
+both measured with the real TPU allocator. This probe records the budget for growing past
 that bound with context sharding (the "HBM-resident scene, shard to grow"
 claim, SURVEY §2.6):
 
@@ -108,7 +108,8 @@ def main():
                    "mesh_context": N,
                    "model": "flagship ViT-L/24 bf16 trunk"},
         "single_chip_bounds": {
-            "build_anchors": 199, "reloc_anchors": 121,
+            "build_anchors": int(cap["build_fit"]["s_max_anchors_build"]),
+            "reloc_anchors": int(cap["reloc_fit"]["s_max_anchors_reloc"]),
             "source": "SCENE_CAPACITY.json (TPU-measured)"},
         "exact_buffers_gb": {"weights": round(weights_gb, 3),
                              "scene_cache_total": round(cache_gb, 3),
