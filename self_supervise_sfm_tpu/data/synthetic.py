@@ -38,6 +38,46 @@ def _plane_intersect(origins, dirs, n, d):
     return origins + dirs * tval[..., None]
 
 
+def _raycast(origin, dirs, planes):
+    """Nearest positive-t hit over a plane list -> (points, t).
+
+    ``origin``: (3,); ``dirs``: (..., 3); ``planes``: [(n (3,), d)].
+    Rays that miss every plane (never happens for the shipped geometries —
+    the back wall spans the frustum) fall back to the last plane.
+    """
+    best_t = None
+    for n, d in planes:
+        denom = dirs @ n
+        t = -(origin @ n + d) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        t = np.where((denom != 0) & (t > 1e-6), t, np.inf)
+        best_t = t if best_t is None else np.minimum(best_t, t)
+    best_t = np.where(np.isfinite(best_t), best_t, 1e3)
+    return origin + dirs * best_t[..., None], best_t
+
+
+_GEOMETRIES = {
+    # the original slanted plane: every 3D point is coplanar. Exact and
+    # simple, but plane-induced homographies leave a FAMILY of (K, R, t)
+    # that reproject a plane pixel-exactly — pose is not identifiable from
+    # reprojection alone (measured: CDF fine-tuning reaches sub-pixel
+    # residuals while relative rotations stay ~10 deg off). Keep for
+    # loss/loader tests; do NOT use for pose-accuracy experiments.
+    "plane": [
+        (np.array([0.05, -0.08, 1.0]) / np.linalg.norm([0.05, -0.08, 1.0]),
+         -5.0),
+    ],
+    # open room corner: back wall + left wall + floor, mutually orthogonal.
+    # Non-coplanar structure breaks the homography ambiguity — with exact
+    # correspondences + depths the reprojection objective identifies
+    # (K, R, t) up to the global similarity gauge.
+    "corner": [
+        (np.array([0.0, 0.0, 1.0]), -5.0),   # back wall  z = 5
+        (np.array([1.0, 0.0, 0.0]), 2.0),    # left wall  x = -2
+        (np.array([0.0, 1.0, 0.0]), -1.5),   # floor      y = 1.5 (y down)
+    ],
+}
+
+
 def _texture(world_xy: np.ndarray) -> np.ndarray:
     """Smooth deterministic RGB texture from world plane coordinates."""
     u, v = world_xy[..., 0], world_xy[..., 1]
@@ -53,25 +93,41 @@ def make_synthetic_scene(
     image_size: Tuple[int, int] = (64, 48),  # (w, h)
     focal: float = 70.0,
     seed: int = 0,
+    geometry: str = "plane",
 ) -> str:
-    """Write ``<scene_dir>/scene.hdf5`` in the reference layout; returns path."""
+    """Write ``<scene_dir>/scene.hdf5`` in the reference layout; returns path.
+
+    ``geometry``: "plane" (default, the original slanted-plane fixture) or
+    "corner" (non-coplanar 3-wall room — required for pose-identifiability;
+    see ``_GEOMETRIES``). Correspondences are occlusion-checked by a
+    visibility ray-cast from the destination camera.
+    """
     rng = np.random.default_rng(seed)
     w, h = image_size
     os.makedirs(scene_dir, exist_ok=True)
 
-    # cameras on a ring looking at the plane z=5 (slanted normal)
-    plane_n = np.array([0.05, -0.08, 1.0])
-    plane_n = plane_n / np.linalg.norm(plane_n)
-    plane_d = -5.0  # plane: p.n + d = 0  ->  z ~ 5
+    planes = _GEOMETRIES[geometry]
     K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32)
 
     extrinsics, centers = [], []
     for i in range(num_images):
         ang = 2 * np.pi * i / max(num_images, 1)
-        eye = np.array(
-            [1.2 * np.cos(ang), 1.0 * np.sin(ang), 0.3 * rng.uniform(-1, 1)]
-        )
-        target = np.array([0.4 * np.sin(ang), 0.3 * np.cos(ang), 5.0])
+        if geometry == "corner":
+            # modest-baseline ring near the origin, aimed so back wall,
+            # left wall and floor all enter the frustum
+            eye = np.array(
+                [0.6 * np.cos(ang), 0.4 * np.sin(ang),
+                 0.3 * rng.uniform(-1, 1)]
+            )
+            target = np.array(
+                [-0.6 + 0.3 * np.sin(ang), 0.5 + 0.2 * np.cos(ang), 5.0]
+            )
+        else:
+            eye = np.array(
+                [1.2 * np.cos(ang), 1.0 * np.sin(ang),
+                 0.3 * rng.uniform(-1, 1)]
+            )
+            target = np.array([0.4 * np.sin(ang), 0.3 * np.cos(ang), 5.0])
         E = _look_at(eye, target, np.array([0.0, -1.0, 0.0]))
         extrinsics.append(E)
         centers.append(eye)
@@ -87,12 +143,31 @@ def make_synthetic_scene(
         origin = -R.T @ t
         return origin, world_dirs
 
+    def shade(pts):
+        if geometry == "plane":
+            return _texture(pts[..., :2])
+        # mix all three coordinates so every wall carries texture gradient
+        uv = np.stack(
+            [pts[..., 0] + 0.6 * pts[..., 1] - 0.4 * pts[..., 2],
+             pts[..., 2] - 0.8 * pts[..., 1] + 0.3 * pts[..., 0]],
+            axis=-1,
+        )
+        return _texture(uv)
+
+    def visible(pts, eye):
+        """True where ``pts`` are unoccluded from camera centre ``eye``."""
+        rel = pts - eye
+        dist = np.linalg.norm(rel, axis=-1)
+        dirs = rel / np.maximum(dist[..., None], 1e-12)
+        _, t_hit = _raycast(eye, dirs, planes)
+        return t_hit >= dist * (1.0 - 1e-3)
+
     def render(E):
         uu, vv = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
         origin, dirs = cam_rays(E, uu, vv)
-        pts = _plane_intersect(origin[None, None], dirs, plane_n, plane_d)
+        pts, _ = _raycast(origin, dirs, planes)
         depth = (pts - origin) @ E[:, :3][2]  # z in camera frame
-        rgb = _texture(pts[..., :2])
+        rgb = shade(pts)
         return rgb, depth.astype(np.float32), pts
 
     def project(E, pts):
@@ -139,7 +214,7 @@ def make_synthetic_scene(
         src_py = (yn + 1) * (h - 1) / 2
         for i, Ei in enumerate(extrinsics):
             origin, dirs = cam_rays(Ei, src_px, src_py)
-            pts = _plane_intersect(origin[None, None], dirs, plane_n, plane_d)
+            pts, _ = _raycast(origin, dirs, planes)
             for j, Ej in enumerate(extrinsics):
                 if i == j:
                     continue
@@ -148,6 +223,7 @@ def make_synthetic_scene(
                 yn_d = 2 * dst_px[..., 1] / (h - 1) - 1
                 inb = (
                     (np.abs(xn_d) < 1) & (np.abs(yn_d) < 1) & (dst_z > 0)
+                    & visible(pts, centers[j])
                 )
                 enc = lambda a: np.clip(
                     (np.clip(a, -1, 1) + 1) / 2 * 65535, 0, 65535

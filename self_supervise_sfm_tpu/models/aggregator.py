@@ -75,15 +75,28 @@ class AggregatorConfig:
     # with context extent > 1 is active, keeping K/V sharded across devices
     # instead of all-gathered.
     global_attn_impl: str = "auto"
-    # scene-cache storage layout. False: (depth, B, H, N, 64) — the layout
-    # the flash kernels consume, but (…, N, 64) arrays lane-pad 64 -> 128
-    # under TPU T(8,128) tiling, so the RESIDENT cache costs 2x its true
-    # bytes (and XLA's while-loop windowed-DMA copy doubles it again).
-    # True (default): heads merged to (depth, B, N, C) — dense 128-lane
-    # tiling, ~1.5x more cached anchors per chip (S_max 130 -> 195,
-    # SCENE_CAPACITY.json) at measured-zero reloc speed cost (the per-layer
-    # head-split is transient). False keeps the raw kernel layout.
-    cache_packed: bool = True
+    # scene-cache storage layout:
+    # - "heads": (depth, B, H, N, 64) — the raw flash-kernel layout, but
+    #   (…, N, 64) arrays lane-pad 64 -> 128 under TPU T(8,128) tiling, so
+    #   the RESIDENT cache costs 2x its true bytes;
+    # - "packed": heads merged to (depth, B, N, C) — dense 128-lane tiling
+    #   (the r3 default; S_max 130 -> 195), split per layer at consumption;
+    # - "kv2" (default): head-major with k/v interleaved on the lane axis,
+    #   (depth, B, H, N, 2*64=128) under key "kv" — dense tiling like
+    #   "packed", AND consumable in place by the direct-HBM reloc kernel
+    #   (ops/flash_attention.frame_ctx_packed_kernel): the depth-stacked
+    #   array goes straight into the pallas_call with the layer picked in
+    #   the BlockSpec index map, so reloc holds NO per-layer transient and
+    #   NO loop copy of the stacks (the r3 "scan xs windowing" 2x tax).
+    cache_layout: str = "kv2"
+    # reloc cache consumption structure. "scan": lax.scan over depth with the
+    # cache as xs — XLA's windowed-DMA while-loop then keeps a full COPY of
+    # the cache stacks resident (measured 0.0558 vs 0.028 true GB/anchor, r3
+    # open items; a dynamic_index closure compiles to the same loop, git
+    # 9d09add). "unrolled" (default, required for "kv2"): python-unrolled
+    # depth loop — no while loop, no windowed copy; with "kv2" the cache is
+    # never sliced at the HLO level at all.
+    reloc_consume: str = "unrolled"
 
     @property
     def patch_start_idx(self) -> int:
@@ -468,10 +481,11 @@ def aggregator_build_cache(
     pjit) instead of mutating module state onto the host.
 
     Returns:
-        (cache, cam_token_last_layer) with cache = dict(k, v) of shape
-        (depth, B, heads, A*(rank+5), head_dim) — or, with
-        ``cfg.cache_packed``, heads merged to (depth, B, A*(rank+5), C)
-        for dense lane tiling (~2x more cached anchors per chip).
+        (cache, cam_token_last_layer). Cache pytree per ``cfg.cache_layout``:
+        "kv2" (default) dict(kv=(depth, B, heads, A*(rank+5), 2*head_dim))
+        with k/v interleaved on the 128-exact lane axis; "packed"
+        dict(k, v) heads-merged (depth, B, A*(rank+5), C); "heads"
+        dict(k, v) raw (depth, B, heads, A*(rank+5), head_dim).
     """
     B, A, H, W, _ = anchor_images.shape
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
@@ -505,9 +519,13 @@ def aggregator_build_cache(
         down_cos = t_frame[0][idx_l].reshape(B, A * R5, -1)
         down_sin = t_frame[1][idx_l].reshape(B, A * R5, -1)
         kv = block_context_kv(rp, down, bcfg, (down_cos, down_sin))
-        if cfg.cache_packed:
+        if cfg.cache_layout == "kv2":
+            # (B, H, N, d) x2 -> (B, H, N, 2d): k/v interleaved on the lane
+            # axis — 128 lanes exact (see AggregatorConfig.cache_layout)
+            kv = (jnp.concatenate(kv, axis=-1),)
+        elif cfg.cache_layout == "packed":
             # (B, H, N, d) -> (B, N, C): dense lane tiling for the stored
-            # cache (see AggregatorConfig.cache_packed)
+            # cache
             kv = tuple(
                 t_.transpose(0, 2, 1, 3).reshape(B, A * R5, C) for t_ in kv
             )
@@ -530,7 +548,10 @@ def aggregator_build_cache(
     stacks = (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"])
     tokens, (kvs, frame_cam, global_cam) = jax.lax.scan(body, tokens, (stacks, idx))
 
-    cache = {"k": kvs[0], "v": kvs[1]}  # (depth, B, heads, A*R5, hd)
+    if cfg.cache_layout == "kv2":
+        cache = {"kv": kvs[0]}  # (depth, B, heads, A*R5, 2*hd)
+    else:
+        cache = {"k": kvs[0], "v": kvs[1]}  # (depth, B, heads, A*R5, hd)
     cam_token_last_layer = jnp.concatenate(
         [frame_cam[-1], global_cam[-1]], axis=-1
     ).astype(jnp.float32)
@@ -562,12 +583,12 @@ def aggregator_reloc(
     from ..layers.block import attn_out_mlp, qkv_parts
     from ..parallel.sp_block import frame_block_sharded
 
-    def layer(tokens, fp, rp, kv_l):
+    def layer(tokens, fp, rp, kv_l, layer_idx=None):
         t = tokens.reshape(B * Q, Ptok, C)
         t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = frame_block_sharded(fp, t, bcfg, t_frame)
         frame_out = t.reshape(B, Q, Ptok, C)
-        if cfg.cache_packed:
+        if cfg.cache_layout == "packed" and kv_l is not None:
             # unpack this layer's (B, N, C) cache slice to the (B, H, N, d)
             # kernel layout — transient, vs a 2x-padded resident cache
             H_, d_ = cfg.num_heads, cfg.head_dim
@@ -583,18 +604,62 @@ def aggregator_reloc(
         # qkv_parts / attn_out_mlp give this site the same fused kernels as
         # the joint-forward reloc block
         q, k, v = qkv_parts(rp, t, bcfg, t_frame)
-        o = attention_heads_out(rp["attn"], q, k, v, bcfg.attn, extra_kv=kv_l)
+        if cfg.cache_layout == "kv2":
+            # direct-HBM consumption: the FULL depth-stacked kv2 cache goes
+            # into the kernel; layer_idx is applied in its BlockSpec index
+            # map (no HLO slice, no transient, no loop copy)
+            from ..ops.flash_attention import packed_ctx_attention
+
+            o = packed_ctx_attention(
+                q, k, v, cache["kv"], layer_idx, impl=bcfg.attn.impl
+            )
+        else:
+            o = attention_heads_out(
+                rp["attn"], q, k, v, bcfg.attn, extra_kv=kv_l
+            )
         out = attn_out_mlp(rp, o, t, bcfg)
         reloc_out = out.reshape(B, Q, Ptok, C)
         return reloc_out, frame_out, reloc_out
 
     if cfg.remat:
-        layer = jax.checkpoint(layer, prevent_cse=False)
+        layer = jax.checkpoint(layer, prevent_cse=False, static_argnums=(4,))
 
-    # single scan with in-carry tap accumulation (see aggregator_forward)
     tap_list = tuple(cfg.intermediate_layer_idx)
     assert tap_list == tuple(sorted(tap_list))
     assert tap_list[-1] == cfg.depth - 1, "last layer must be an intermediate tap"
+
+    if cfg.cache_layout == "kv2" or cfg.reloc_consume == "unrolled":
+        # python-unrolled depth loop: no while loop, so there is nothing for
+        # the windowed-DMA pass to copy the cache stacks into (the copy
+        # costs a full extra cache footprint under "scan"; see the
+        # reloc_consume field note). With "kv2" the cache is consumed in
+        # place by the kernel; legacy layouts statically slice per layer.
+        taps: Dict[int, jax.Array] = {}
+        cur = tokens
+        for l in range(cfg.depth):
+            fp = jax.tree.map(lambda x: x[l], p["frame_blocks"])
+            rp = jax.tree.map(lambda x: x[l], p["reloc_blocks"])
+            if cfg.cache_layout == "kv2":
+                kv_l = None
+            else:
+                # tie layer l's cache slice to layer l-1's output: without
+                # the barrier XLA prefetches every layer's slice up front
+                # and the whole cache is live twice (measured slope 0.080
+                # GB/anchor vs scan's 0.056)
+                k_l, v_l, cur = jax.lax.optimization_barrier(
+                    (cache["k"][l], cache["v"][l], cur)
+                )
+                kv_l = (k_l, v_l)
+            cur, frame_out, reloc_out = layer(cur, fp, rp, kv_l, l)
+            if l in tap_list:
+                taps[l] = jnp.concatenate(
+                    [frame_out, reloc_out], axis=-1
+                ).astype(jnp.float32)
+        taps[-1] = taps[tap_list[-1]]
+        return taps, cfg.patch_start_idx
+
+    # "scan": single scan with in-carry tap accumulation (see
+    # aggregator_forward)
     n_tap = len(tap_list)
     tap_idx_arr = jnp.asarray(tap_list, jnp.int32)
     taps_buf = jnp.zeros((n_tap, B, Q, Ptok, 2 * C), jnp.float32)
@@ -602,7 +667,9 @@ def aggregator_reloc(
     def body(carry, xs):
         tokens, taps_buf = carry
         (fp, rp), kv, l = xs
-        new_tokens, frame_out, reloc_out = layer(tokens, fp, rp, (kv["k"], kv["v"]))
+        new_tokens, frame_out, reloc_out = layer(
+            tokens, fp, rp, (kv["k"], kv["v"]), None
+        )
         is_tap = jnp.any(tap_idx_arr == l)
         slot = jnp.sum((tap_idx_arr < l).astype(jnp.int32))
 

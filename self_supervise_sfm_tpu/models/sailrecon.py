@@ -71,7 +71,7 @@ def make_config(
     vit_remat: bool = False,
     attn_impl: str = "auto",
     global_attn_impl: str = "auto",
-    cache_packed: bool = True,
+    cache_layout: str = "kv2",
 ) -> SailReconConfig:
     """Build a consistent config tree (flagship defaults = the reference's
     ViT-L/14 @ 518 with 24 aggregator layers).
@@ -104,7 +104,7 @@ def make_config(
         remat=remat,
         attn_impl=attn_impl,
         global_attn_impl=global_attn_impl,
-        cache_packed=cache_packed,
+        cache_layout=cache_layout,
     )
     head_kw = dict(
         dim_in=2 * embed_dim,

@@ -556,6 +556,150 @@ def frame_ctx_kernel(
     return out.reshape(BF, H, P, d)
 
 
+def _frame_ctx_kv2_kernel(
+    q_ref, own_ref, ckv_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, sm_scale, nc, np_, ct, bk, d,
+):
+    """:func:`_frame_ctx_kernel` operating natively on 128-lane kv2 tiles.
+
+    Every key tile — the scene cache (streamed straight from the
+    depth-stacked kv2 array, layer picked by the BlockSpec index map) and
+    the query frame's own K/V (interleaved by the wrapper) — is (bk, 2d)
+    rows of [k ‖ v]. q arrives zero-padded to 2d, so the logits matmul
+    contracts all 2d=128 lanes: [q ‖ 0]·[k ‖ v]^T = q·k^T exactly, and at
+    the same wall cost (the d=64 contraction ran at half MXU rate; 128 runs
+    at full). p @ [k ‖ v] accumulates both halves into a 2d-wide
+    accumulator; finalize reads the v half. No per-tile lane split, no
+    relayout — the k/v split never happens."""
+    j = pl.program_id(4)
+    nk_tiles = pl.num_programs(4)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0, 0]  # (bq, 2d), lanes d: are zero
+
+    def consume(kv, k0, nk_valid):
+        s2 = jax.lax.dot_general(
+            q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (sm_scale * LOG2E)
+        _online_step(kv, kv, k0, nk_valid, s2, m_scratch, l_scratch,
+                     acc_scratch)
+
+    @pl.when(j < ct)
+    def _ctx():
+        consume(ckv_ref[0, 0, 0], j * bk, nc)
+
+    @pl.when(j >= ct)
+    def _own():
+        consume(own_ref[0, 0, 0], (j - ct) * bk, np_)
+
+    @pl.when(j == nk_tiles - 1)
+    def _finalize():
+        l = l_scratch[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, 0] = (acc_scratch[:, d:] / l_safe).astype(o_ref.dtype)
+
+
+def frame_ctx_packed_kernel(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    ckv: jax.Array,  # (depth, B, H, Nc, 2d) kv2 scene cache
+    layer: int,
+    bq: Optional[int] = None,
+    bk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`frame_ctx_kernel` consuming the kv2 cache in place.
+
+    The full depth-stacked cache array is passed to the pallas_call and
+    ``layer`` (a static python int) is applied inside the K/V BlockSpec index
+    map — there is no HLO-level slice of the cache, so XLA allocates no
+    per-layer transient and no loop copy of the stacks: the kernel DMAs
+    (bk, 2d) tiles of layer ``layer`` directly from the cache's HBM buffer.
+    This is what holds serving-scene capacity at the cache's true byte cost
+    (the scan/xs structure pays 2x; SCENE_CAPACITY.json r4 vs r3). The
+    query frames' own K/V is interleaved to the same [k ‖ v] lane layout and
+    q zero-padded to 2d so the kernel is 128-lane native throughout (see
+    ``_frame_ctx_kv2_kernel``).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    BF, H, P, d = q.shape
+    depth, B, _, Nc, d2 = ckv.shape
+    assert d2 == 2 * d
+    F = BF // B
+    assert BF == B * F
+    sm_scale = 1.0 / (d**0.5)
+    bq = bq or (_cdiv(max(128, P), 8) * 8 if P <= 1536 else 1024)
+    bq = min(bq, _cdiv(max(128, P), 8) * 8)
+    bk = bk or 768
+    bk = int(min(bk, _cdiv(max(128, max(Nc, P)), 8) * 8))
+    ct = _cdiv(Nc, bk)
+    ot = _cdiv(P, bk)
+
+    qp = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+    q5 = qp.reshape(B, F, H, P, 2 * d)
+    own5 = jnp.concatenate([k, v], axis=-1).reshape(B, F, H, P, 2 * d)
+    grid = (B, F, H, _cdiv(P, bq), ct + ot)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _frame_ctx_kv2_kernel, sm_scale=sm_scale, nc=Nc, np_=P,
+            ct=ct, bk=bk, d=d,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, bq, 2 * d), lambda b, f, h, i, j: (b, f, h, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, bk, 2 * d),
+                lambda b, f, h, i, j: (b, f, h, jnp.clip(j - ct, 0, ot - 1), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, bk, 2 * d),
+                lambda b, f, h, i, j: (layer, b, h, jnp.minimum(j, ct - 1), 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, bq, d), lambda b, f, h, i, j: (b, f, h, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, F, H, P, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, 2 * d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q5, own5, ckv)
+    return out.reshape(BF, H, P, d)
+
+
+def packed_ctx_attention(q, k, v, ckv, layer: int, impl: str = "auto"):
+    """[ctx ‖ own] reloc attention against one layer of the kv2 scene cache.
+
+    Serving path (no VJP): TPU takes the direct-consumption kernel (always
+    when the problem is big enough to matter — that is exactly when the
+    cache transient it avoids is expensive); small problems and other
+    backends slice + split the layer and reuse the dense reference.
+    """
+    d = q.shape[-1]
+    Nc = ckv.shape[3]
+    if (
+        jax.default_backend() == "tpu"
+        and impl != "dense"
+        and d <= 256
+        and q.shape[2] * (Nc + k.shape[2]) >= 1_500_000
+    ):
+        return frame_ctx_packed_kernel(q, k, v, ckv, layer)
+    ck, cv = ckv[layer, ..., :d], ckv[layer, ..., d:]
+    return _frame_ctx_dense(q, k, v, ck.astype(k.dtype), cv.astype(v.dtype))
+
+
 def _frame_ctx_dense(q, k, v, ck, cv):
     """Dense reference: per-frame softmax over the [ctx ‖ own] concatenation
     (identical to the reference's masked global-reloc attention rows,

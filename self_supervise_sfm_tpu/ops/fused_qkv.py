@@ -40,6 +40,38 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+# Conservative per-kernel VMEM budget. The hard scoped limit is 16 MB and
+# overflowing it does not degrade gracefully: the remote AOT helper dies with
+# a misleading TPU_WORKER_HOSTNAMES HTTP-500 (CLAUDE.md). Sizing to ~13 MB
+# leaves headroom for double-buffering + compiler scratch, which measurably
+# varies between compiles of the SAME program (r4: a reloc program that
+# compiled in r3 landed 44 KB over the cliff on recompile).
+_VMEM_BUDGET = 14 * 2**20
+
+
+def _shrink_qkv_bn(bn: int, N: int, C: int, nh: int, d: int, e: int) -> int:
+    """Largest block_n <= bn whose QKV-kernel resident set fits the budget.
+
+    Resident set model: weights C*3C*e (single-buffered constant block),
+    fp32 bias 3C*4, double-buffered x block, rope tables and the three
+    per-head outputs, plus fp32 LN/accumulator scratch (x + qkv rows).
+    """
+    bn = min(bn, N)
+    while bn > 64:
+        fixed = C * 3 * C * e + 3 * C * 4
+        per_row = (
+            2 * C * e            # x block, double-buffered
+            + 2 * 2 * d * 4      # cos+sin f32, double-buffered
+            + 2 * 3 * nh * d * e  # q/k/v out blocks, double-buffered
+            + C * 4 + 3 * C * 4  # f32 x rows + qkv accumulator
+            + 8 * d * 4          # per-head qk-norm/rope temporaries
+        )
+        if fixed + bn * per_row <= _VMEM_BUDGET:
+            break
+        bn -= 64
+    return max(bn, 64)
+
+
 def _ln_rows(x32, scale, bias, eps):
     """Row-wise layer norm in f32 (matches layers/params.py:layer_norm)."""
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -108,7 +140,7 @@ def fused_qkv_kernel(
     B, N, C = x.shape
     nh = num_heads
     d = C // nh
-    bn = min(block_n, _cdiv(N, 1))
+    bn = _shrink_qkv_bn(block_n, N, C, nh, d, x.dtype.itemsize)
     grid = (B, _cdiv(N, bn))
 
     const = lambda *_: (0, 0)  # noqa: E731
@@ -261,7 +293,7 @@ def fused_qkv_plain_kernel(
     B, N, C = x.shape
     nh = num_heads
     d = C // nh
-    bn = min(block_n, N)
+    bn = _shrink_qkv_bn(block_n, N, C, nh, d, x.dtype.itemsize)
     grid = (B, _cdiv(N, bn))
     const = lambda *_: (0, 0)  # noqa: E731
     return pl.pallas_call(

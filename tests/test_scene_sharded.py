@@ -63,8 +63,8 @@ def test_200_anchor_scene_sharded_matches_single(rng):
 
     np.testing.assert_allclose(np.asarray(cam_sh), np.asarray(cam_ref),
                                atol=2e-4)
-    np.testing.assert_allclose(np.asarray(cache_sh["k"]),
-                               np.asarray(cache_ref["k"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache_sh["kv"]),
+                               np.asarray(cache_ref["kv"]), atol=2e-4)
     for k in ("extrinsic", "intrinsic", "depth_map", "point_map"):
         np.testing.assert_allclose(
             np.asarray(preds_sh[k]), np.asarray(preds_ref[k]),
@@ -72,43 +72,70 @@ def test_200_anchor_scene_sharded_matches_single(rng):
         )
 
 
-def test_packed_cache_matches_default(rng):
-    """The default packed cache (dense-lane (depth, B, N, C) storage) must
-    produce identical reloc outputs to the raw per-head layout — it is a
-    pure relayout (build merges heads, reloc splits per layer)."""
+def test_cache_layouts_match(rng):
+    """All three cache storage layouts must produce identical reloc outputs
+    — "packed" and "kv2" are pure relayouts of the raw per-head cache
+    ("kv2" additionally consumed in place by the direct-HBM kernel on
+    TPU; off-TPU every layout takes the dense reference path)."""
     import dataclasses
 
-    cfg_p = tiny_cfg()  # packed by default
-    cfg = dataclasses.replace(
-        cfg_p,
-        aggregator=dataclasses.replace(cfg_p.aggregator, cache_packed=False),
-    )
-    p = M.init_sailrecon(jax.random.PRNGKey(0), cfg)
+    def with_layout(layout):
+        cfg = tiny_cfg()
+        return dataclasses.replace(
+            cfg,
+            aggregator=dataclasses.replace(cfg.aggregator,
+                                           cache_layout=layout),
+        )
+
+    cfg_h = with_layout("heads")
+    p = M.init_sailrecon(jax.random.PRNGKey(0), cfg_h)
     anchors = jnp.asarray(
         rng.uniform(size=(1, 6, IMG, IMG, 3)).astype(np.float32))
     queries = jnp.asarray(
         rng.uniform(size=(1, 3, IMG, IMG, 3)).astype(np.float32))
     key = jax.random.PRNGKey(7)
 
-    cache, cam = M.build_scene_cache(p, cfg, anchors, rank=RANK,
+    cache, cam = M.build_scene_cache(p, cfg_h, anchors, rank=RANK,
                                      subsample_key=key)
-    preds = M.reloc(p, cfg, cache, cam, queries)
+    preds = M.reloc(p, cfg_h, cache, cam, queries)
+
+    D, B = cfg_h.aggregator.depth, 1
+    Hh, dd = cfg_h.aggregator.num_heads, cfg_h.aggregator.head_dim
+    N = cache["k"].shape[3]
+
+    # packed: heads merged (depth, B, N, C)
+    cfg_p = with_layout("packed")
     cache_p, cam_p = M.build_scene_cache(p, cfg_p, anchors, rank=RANK,
                                          subsample_key=key)
-    preds_p = M.reloc(p, cfg_p, cache_p, cam_p, queries)
-
-    D, B = cfg.aggregator.depth, 1
-    Hh, dd = cfg.aggregator.num_heads, cfg.aggregator.head_dim
-    N = cache["k"].shape[3]
     assert cache_p["k"].shape == (D, B, N, Hh * dd)
     np.testing.assert_allclose(
         np.asarray(cache_p["k"]),
         np.asarray(cache["k"]).transpose(0, 1, 3, 2, 4).reshape(D, B, N, -1),
         atol=1e-6,
     )
+    preds_p = M.reloc(p, cfg_p, cache_p, cam_p, queries)
+
+    # kv2 (default): k/v interleaved on the lane axis (depth, B, H, N, 2d)
+    cfg_kv = with_layout("kv2")
+    cache_kv, cam_kv = M.build_scene_cache(p, cfg_kv, anchors, rank=RANK,
+                                           subsample_key=key)
+    assert cache_kv["kv"].shape == (D, B, Hh, N, 2 * dd)
+    np.testing.assert_allclose(
+        np.asarray(cache_kv["kv"]),
+        np.concatenate([np.asarray(cache["k"]), np.asarray(cache["v"])],
+                       axis=-1),
+        atol=1e-6,
+    )
+    preds_kv = M.reloc(p, cfg_kv, cache_kv, cam_kv, queries)
+
     np.testing.assert_allclose(np.asarray(cam_p), np.asarray(cam), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cam_kv), np.asarray(cam), atol=1e-6)
     for k in ("extrinsic", "intrinsic", "depth_map", "point_map"):
         np.testing.assert_allclose(
             np.asarray(preds_p[k]), np.asarray(preds[k]), atol=1e-5,
+            err_msg=k,
+        )
+        np.testing.assert_allclose(
+            np.asarray(preds_kv[k]), np.asarray(preds[k]), atol=1e-5,
             err_msg=k,
         )
