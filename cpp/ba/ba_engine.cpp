@@ -672,11 +672,30 @@ struct BlockIC {
   std::vector<double> blk;          // nnz * 36
 };
 
+// Does L's cached lower-triangle pattern match S's? Camera count alone is
+// not a safe cache key: two Schur systems with the same C but different
+// covisibility would silently factor on a stale pattern (advisor r3).
+// O(nnz) walk — negligible next to the O(nnz*6^3) factorization.
+inline bool ic0_pattern_matches(const BlockS& S, const BlockIC& L) {
+  if (L.C != S.C) return false;
+  size_t e = 0;
+  for (int r = 0; r < S.C; r++) {
+    for (int f = S.row_start[r]; f < S.row_start[r + 1]; f++) {
+      if (S.col[f] > r) continue;
+      if (e >= L.col.size() || L.col[e] != S.col[f]) return false;
+      e++;
+    }
+    if (L.row_start[r + 1] != (int)e) return false;
+  }
+  return e == L.col.size();
+}
+
 // Build the IC(0) factor. Returns false on breakdown (caller falls back to
-// block-Jacobi for this solve).
+// block-Jacobi for this solve). The cached pattern in L is reused only when
+// it matches S's exactly (see ic0_pattern_matches).
 bool ic0_factor(const BlockS& S, double lambda, BlockIC& L) {
   const int C = S.C;
-  if (L.C != C) {
+  if (!ic0_pattern_matches(S, L)) {
     L.C = C;
     L.row_start.assign(C + 1, 0);
     L.col.clear();

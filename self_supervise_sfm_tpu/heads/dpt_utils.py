@@ -60,22 +60,27 @@ def _resize_kernel_vjp(x, add, out_hw):
 
 
 def _resize_kernel_fwd(x, add, out_hw):
-    return _resize_kernel_vjp(x, add, out_hw), (x.shape, None if add is None
-                                                else add.dtype)
+    # the backward of this LINEAR map needs only x's (H, W) and add's dtype
+    # — carried as zero-element token arrays: bare python shapes/dtypes are
+    # not valid residual leaves once the bwd actually traces (surfaced by
+    # the big-batch train step, where the kernel path engages)
+    shape_tok = jnp.zeros((0,) + x.shape[1:3] + (0,), x.dtype)
+    add_tok = None if add is None else jnp.zeros((0,), add.dtype)
+    return _resize_kernel_vjp(x, add, out_hw), (shape_tok, add_tok)
 
 
 def _resize_kernel_bwd(out_hw, res, g):
     # linear map: vjp = transpose contraction with the same interp matrices;
     # the fused addend is broadcast over N, so its cotangent is the N-sum
-    in_shape, add_dtype = res
+    shape_tok, add_tok = res
     H2, W2 = out_hw
-    _, H, W, _ = in_shape
+    H, W = shape_tok.shape[1], shape_tok.shape[2]
     Ah = jnp.asarray(_interp_matrix_ac(H2, H), g.dtype)
     Aw = jnp.asarray(_interp_matrix_ac(W2, W), g.dtype)
     with jax.default_matmul_precision("highest"):
         dx = jnp.einsum("wj,nhwc->nhjc", Aw, g)
         dx = jnp.einsum("hi,nhjc->nijc", Ah, dx)
-    dadd = None if add_dtype is None else jnp.sum(g, axis=0).astype(add_dtype)
+    dadd = None if add_tok is None else jnp.sum(g, axis=0).astype(add_tok.dtype)
     return (dx, dadd)
 
 

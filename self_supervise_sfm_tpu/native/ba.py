@@ -75,14 +75,28 @@ def _np_axis_angle_to_mat(aa: np.ndarray) -> np.ndarray:
     return R
 
 
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def build(force: bool = False) -> str:
-    """Compile the shared library (cached by mtime)."""
-    if (
-        not force
-        and os.path.exists(_LIB)
-        and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
-    ):
-        return _LIB
+    """Compile the shared library (cached by SOURCE CONTENT hash).
+
+    An mtime comparison is not a safe staleness check here: a fresh ``git
+    clone`` stamps the committed .so and the .cpp with the same checkout
+    time, so a binary committed without rebuilding would load silently
+    (advisor r3). The source sha256 is recorded next to the library in
+    ``libba_engine.so.src-sha256`` and must match exactly.
+    """
+    stamp = _LIB + ".src-sha256"
+    want = _src_hash()
+    if not force and os.path.exists(_LIB) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == want:
+                return _LIB
     # compile to a private temp then atomically rename (multi-process safe:
     # jax.distributed workers sharing one checkout race the build otherwise)
     tmp = f"{_LIB}.tmp.{os.getpid()}"
@@ -92,6 +106,10 @@ def build(force: bool = False) -> str:
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, _LIB)
+    tmp_stamp = f"{stamp}.tmp.{os.getpid()}"
+    with open(tmp_stamp, "w") as f:
+        f.write(want + "\n")
+    os.replace(tmp_stamp, stamp)
     return _LIB
 
 

@@ -831,8 +831,10 @@ def flash_attention(
         interpret = jax.default_backend() != "tpu"
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
+    # k/v itemsize governs the k-side VMEM cap (advisor r3: q bf16 with
+    # fp32 k/v would otherwise budget the k blocks at half their true size)
     bq = bq or _auto_block(Nq, q.dtype.itemsize)
-    bk = bk or _auto_block(Nk, q.dtype.itemsize)
+    bk = bk or _auto_block(Nk, max(k.dtype.itemsize, v.dtype.itemsize))
     bq = int(min(bq, _cdiv(max(128, Nq), 8) * 8))
     bk = int(min(bk, _cdiv(max(128, Nk), 8) * 8))
     out = _flash_mha(
@@ -861,8 +863,10 @@ def flash_attention_lse(
         interpret = jax.default_backend() != "tpu"
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
+    # k/v itemsize governs the k-side VMEM cap (advisor r3: q bf16 with
+    # fp32 k/v would otherwise budget the k blocks at half their true size)
     bq = bq or _auto_block(Nq, q.dtype.itemsize)
-    bk = bk or _auto_block(Nk, q.dtype.itemsize)
+    bk = bk or _auto_block(Nk, max(k.dtype.itemsize, v.dtype.itemsize))
     bq = int(min(bq, _cdiv(max(128, Nq), 8) * 8))
     bk = int(min(bk, _cdiv(max(128, Nk), 8) * 8))
     out, lse = _flash_mha_lse(

@@ -195,6 +195,15 @@ def dump_artifacts(step, preds, tcfg, batch, results_dir):
         np.asarray(preds["extrinsic"][0]), np.asarray(preds["intrinsic"][0]),
         scene0, save_path=os.path.join(out_dir, "sanity_overlay.png"),
     )
+    # bidirectional 3D-reprojection triptych (tuple2vls equivalent,
+    # train/utils/vls.py:104-180)
+    from ..utils.vls import reprojection_validation_grid
+
+    reprojection_validation_grid(
+        scene0, np.asarray(preds["extrinsic"][0]),
+        np.asarray(preds["intrinsic"][0]),
+        save_path=os.path.join(out_dir, "reproj_grid.png"),
+    )
     return m
 
 
@@ -342,6 +351,14 @@ def run(cfg: TrainerConfig):
     with Sh.activate_mesh(mesh):
         step_fn = make_train_step(model_cfg, tcfg)
         step_fn_final = None
+        if bool(cfg.loss_switch_step) != bool(cfg.loss_max_val_final):
+            # half-configured curriculum would otherwise be silently ignored
+            raise ValueError(
+                "CDF-range curriculum needs BOTH --loss-switch-step and "
+                "--loss-max-val-final (got switch_step="
+                f"{cfg.loss_switch_step}, max_val_final="
+                f"{cfg.loss_max_val_final}); set both or neither"
+            )
         if cfg.loss_switch_step and cfg.loss_max_val_final:
             assert cfg.loss_switch_step < cfg.total_steps, (
                 "loss_switch_step must be < total_steps or the curriculum "

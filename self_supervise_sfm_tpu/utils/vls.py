@@ -143,3 +143,89 @@ def plot_cdf_pdf_curves(
     fig.savefig(save_path, dpi=120)
     plt.close(fig)
     return save_path
+
+
+def reprojection_validation_grid(
+    scene: dict,
+    extrinsic: np.ndarray,  # (S, 3, 4) predicted, processed space
+    intrinsic: np.ndarray,  # (S, 3, 3) predicted, processed space
+    pair: Optional[int] = None,
+    nlim: int = 24,
+    save_path: Optional[str] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """3x2 bidirectional reprojection-validation grid — the ``tuple2vls``
+    equivalent (``train/utils/vls.py:104-180``): row 1 the measured
+    correspondences, row 2 source points reprojected into the destination,
+    row 3 destination points reprojected back into the source, with shared
+    per-point colours so a correct relative pose shows every point landing
+    on its same-coloured partner.
+
+    Unlike the reference (which plots a hardcoded 2-point debug slice),
+    ``nlim`` points are drawn at random. Correspondences live in ORIGINAL
+    image space while ``scene["images"]`` are the processed (pad-square)
+    frames, so every drawn point is mapped through the ``K_to_K_prime``
+    affine first.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import geometry as G
+
+    rng = rng or np.random.default_rng(0)
+    valid = np.flatnonzero(scene["pair_valid"] > 0)
+    if len(valid) == 0:
+        return None
+    p = int(pair if pair is not None else rng.choice(valid))
+    si, di = int(scene["src_idx"][p]), int(scene["dst_idx"][p])
+
+    n = scene["src_coords"].shape[1]
+    sel = rng.choice(n, min(nlim, n), replace=False)
+    src = scene["src_coords"][p][sel]
+    dst = scene["dst_coords"][p][sel]
+    dep_s = scene["src_depth"][p][sel]
+    dep_d = scene["dst_depth"][p][sel]
+    recovered_K = scene["K_prime_to_K"] @ np.asarray(intrinsic)
+    ones = jnp.ones((1, len(sel)), jnp.float32)
+
+    def reproject(a, b, coords, depth):
+        rel = G.relative_pose(
+            jnp.asarray(extrinsic[a : a + 1]), jnp.asarray(extrinsic[b : b + 1])
+        )
+        out, _ = G.backproject_and_reproject(
+            jnp.asarray(coords[None]), jnp.asarray(depth[None]),
+            jnp.asarray(recovered_K[a : a + 1]),
+            jnp.asarray(recovered_K[b : b + 1]), rel, ones,
+        )
+        return np.asarray(out)[0]
+
+    pred_dst = reproject(si, di, src, dep_s)   # src -> dst
+    pred_src = reproject(di, si, dst, dep_d)   # dst -> src
+
+    def to_processed(frame_idx, pts):
+        A = scene["K_to_K_prime"][frame_idx]
+        return pts * np.array([A[0, 0], A[1, 1]]) + np.array([A[0, 2], A[1, 2]])
+
+    colors = plt.get_cmap("hsv")(np.linspace(0, 1, len(sel), endpoint=False))
+    fig, axes = plt.subplots(3, 2, figsize=(10, 13))
+    fig.suptitle(f"reprojection validation: pair {si} -> {di}")
+
+    def draw(ax, frame_idx, pts, title):
+        ax.imshow(np.asarray(scene["images"][frame_idx]))
+        q = to_processed(frame_idx, pts)
+        ax.scatter(q[:, 0], q[:, 1], s=36, c=colors, edgecolors="white",
+                   linewidths=0.6)
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+
+    draw(axes[0, 0], si, src, "source (measured)")
+    draw(axes[0, 1], di, dst, "destination (measured)")
+    draw(axes[1, 0], si, src, "source points")
+    draw(axes[1, 1], di, pred_dst, "reprojected into destination")
+    draw(axes[2, 0], di, dst, "destination points")
+    draw(axes[2, 1], si, pred_src, "reprojected into source")
+    fig.tight_layout()
+    if save_path is not None:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path

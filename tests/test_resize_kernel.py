@@ -69,7 +69,8 @@ def test_bwd_is_einsum_transpose(rng):
     g = jnp.asarray(rng.normal(size=(1, h2, w2, 4)).astype(np.float32))
     _, vjp = jax.vjp(lambda t: _resize_einsum(t, (h2, w2)), x)
     (ref,) = vjp(g)
-    got, dadd = _resize_kernel_bwd((h2, w2), (x.shape, None), g)
+    got, dadd = _resize_kernel_bwd(
+        (h2, w2), (jnp.zeros((0,) + x.shape[1:3] + (0,), x.dtype), None), g)
     assert dadd is None
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
@@ -86,7 +87,10 @@ def test_bwd_fused_add_is_einsum_transpose(rng):
         lambda t, a: _resize_einsum(t, (h2, w2)) + a[None], x, add
     )
     ref_dx, ref_dadd = vjp(g)
-    got_dx, got_dadd = _resize_kernel_bwd((h2, w2), (x.shape, add.dtype), g)
+    got_dx, got_dadd = _resize_kernel_bwd(
+        (h2, w2),
+        (jnp.zeros((0,) + x.shape[1:3] + (0,), x.dtype),
+         jnp.zeros((0,), add.dtype)), g)
     np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_dadd), np.asarray(ref_dadd),

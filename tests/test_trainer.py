@@ -58,6 +58,8 @@ def test_trainer_runs_and_checkpoints(tmp_path, monkeypatch):
     vls_dir = os.path.join(cfg.results_dir, "vls", "step_2")
     assert os.path.exists(os.path.join(vls_dir, "pred.ply"))
     assert os.path.exists(os.path.join(vls_dir, "poses_kitti.txt"))
+    # tuple2vls-equivalent reprojection triptych
+    assert os.path.exists(os.path.join(vls_dir, "reproj_grid.png"))
     # per-frame residual-distribution curves (train_imc.py:418-425 parity)
     assert os.path.exists(os.path.join(vls_dir, "cdf_pdf_exact.png"))
     assert os.path.exists(os.path.join(vls_dir, "cdf_pdf_approx.png"))
