@@ -78,12 +78,49 @@ _GEOMETRIES = {
 }
 
 
-def _texture(world_xy: np.ndarray) -> np.ndarray:
-    """Smooth deterministic RGB texture from world plane coordinates."""
+def _randomized_corner(rng: np.random.Generator):
+    """Per-seed corner variant: wall positions/slants drawn from the rng.
+
+    The fixed "corner" planes make every seed the same room — a pretrained
+    prior then already sits at the objective's optimum on an "unseen" seed
+    and test-time adaptation has nothing to close (measured: before-ATE
+    0.036, fine-tuning only adds SGD noise). Randomizing the geometry (and
+    texture, see ``_texture`` params) gives held-out seeds genuine novelty.
+    """
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    back_z = 5.0 + rng.uniform(-1.0, 1.0)
+    left_x = -2.0 + rng.uniform(-0.7, 0.7)
+    floor_y = 1.5 + rng.uniform(-0.5, 0.5)
+    return [
+        (unit(np.array([rng.uniform(-0.15, 0.15),
+                        rng.uniform(-0.15, 0.15), 1.0])), -back_z),
+        (unit(np.array([1.0, rng.uniform(-0.15, 0.15),
+                        rng.uniform(-0.15, 0.15)])), -left_x),
+        (unit(np.array([rng.uniform(-0.15, 0.15), 1.0,
+                        rng.uniform(-0.15, 0.15)])), -floor_y),
+    ]
+
+
+def _texture(world_xy: np.ndarray, params: np.ndarray | None = None) -> np.ndarray:
+    """Smooth deterministic RGB texture from world plane coordinates.
+
+    ``params``: optional (3, 3) [freq_u, freq_v, phase] per channel — used by
+    the randomized corner scenes so different seeds carry genuinely
+    different appearance (None keeps the original fixed texture, which every
+    "plane" fixture test depends on).
+    """
     u, v = world_xy[..., 0], world_xy[..., 1]
-    r = 0.5 + 0.5 * np.sin(2.1 * u) * np.cos(1.3 * v)
-    g = 0.5 + 0.5 * np.sin(1.7 * u + 0.5) * np.sin(2.3 * v)
-    b = 0.5 + 0.5 * np.cos(1.1 * u) * np.cos(0.7 * v + 1.0)
+    if params is None:
+        r = 0.5 + 0.5 * np.sin(2.1 * u) * np.cos(1.3 * v)
+        g = 0.5 + 0.5 * np.sin(1.7 * u + 0.5) * np.sin(2.3 * v)
+        b = 0.5 + 0.5 * np.cos(1.1 * u) * np.cos(0.7 * v + 1.0)
+    else:
+        (fr, gr, pr), (fg, gg, pg), (fb, gb, pb) = params
+        r = 0.5 + 0.5 * np.sin(fr * u + pr) * np.cos(gr * v)
+        g = 0.5 + 0.5 * np.sin(fg * u + pg) * np.sin(gg * v)
+        b = 0.5 + 0.5 * np.cos(fb * u + pb) * np.cos(gb * v)
     return np.clip(np.stack([r, g, b], -1) * 255, 0, 255).astype(np.uint8)
 
 
@@ -97,22 +134,33 @@ def make_synthetic_scene(
 ) -> str:
     """Write ``<scene_dir>/scene.hdf5`` in the reference layout; returns path.
 
-    ``geometry``: "plane" (default, the original slanted-plane fixture) or
+    ``geometry``: "plane" (default, the original slanted-plane fixture),
     "corner" (non-coplanar 3-wall room — required for pose-identifiability;
-    see ``_GEOMETRIES``). Correspondences are occlusion-checked by a
+    see ``_GEOMETRIES``) or "corner_rand" (corner with per-seed wall
+    positions/slants AND per-seed texture — distribution shift across
+    seeds, required for test-time-adaptation experiments; see
+    ``_randomized_corner``). Correspondences are occlusion-checked by a
     visibility ray-cast from the destination camera.
     """
     rng = np.random.default_rng(seed)
     w, h = image_size
     os.makedirs(scene_dir, exist_ok=True)
 
-    planes = _GEOMETRIES[geometry]
+    tex_params = None
+    if geometry == "corner_rand":
+        planes = _randomized_corner(rng)
+        tex_params = np.stack([
+            rng.uniform([1.0, 0.7, 0.0], [3.0, 2.8, 6.28], size=3)
+            for _ in range(3)
+        ])
+    else:
+        planes = _GEOMETRIES[geometry]
     K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32)
 
     extrinsics, centers = [], []
     for i in range(num_images):
         ang = 2 * np.pi * i / max(num_images, 1)
-        if geometry == "corner":
+        if geometry in ("corner", "corner_rand"):
             # modest-baseline ring near the origin, aimed so back wall,
             # left wall and floor all enter the frustum
             eye = np.array(
@@ -147,12 +195,13 @@ def make_synthetic_scene(
         if geometry == "plane":
             return _texture(pts[..., :2])
         # mix all three coordinates so every wall carries texture gradient
+        # mix all three coordinates so every wall carries texture gradient
         uv = np.stack(
             [pts[..., 0] + 0.6 * pts[..., 1] - 0.4 * pts[..., 2],
              pts[..., 2] - 0.8 * pts[..., 1] + 0.3 * pts[..., 0]],
             axis=-1,
         )
-        return _texture(uv)
+        return _texture(uv, tex_params)
 
     def visible(pts, eye):
         """True where ``pts`` are unoccluded from camera centre ``eye``."""

@@ -300,6 +300,18 @@ def _flash_bwd(q, k, v, o, lse, do, mask, bq, bk, interpret, dlse=None):
     BH, Nq, d = q.shape
     Nk = k.shape[1]
     sm_scale = 1.0 / (d**0.5)
+    # The bwd kernels hold TWO (bq, bk) f32 tiles (p and ds) where the
+    # forward holds one — inheriting the forward's single-tile config at
+    # N=1374 puts their resident set ~600 KB OVER the 16 MB scoped-vmem
+    # limit (observed: schedule-dependent compile failures in the depth-12
+    # train step). Cap the tile product so 2*bq*bk*4B + block overhead stays
+    # ~12.5 MB; the k side halves first (the q-side tile carries the dq/ds
+    # accumulator rows).
+    while 2 * bq * bk * 4 > int(12.5 * 2**20) and max(bq, bk) > 128:
+        if bk >= bq:
+            bk = _cdiv(bk, 2 * 8) * 8
+        else:
+            bq = _cdiv(bq, 2 * 8) * 8
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # (BH, Nq, 1)
