@@ -174,6 +174,17 @@ def make_train_step(model_cfg: M.SailReconConfig, train_cfg: TrainConfig,
         updates, new_opt = optimizer.update(grads, state["opt_state"], state["params"])
         new_params = constrain_tree(optax.apply_updates(state["params"], updates))
         metrics["grad_norm"] = optax.global_norm(grads)
+        # per-subsystem gradient norms: the 518px-curve plateau diagnosis
+        # needs to see which component the loss signal actually reaches
+        # (trunk vs camera head vs DPT heads) — a vanishing camera-head
+        # gradient with a live DPT gradient means the objective is carving
+        # depth, not poses, and vice versa.
+        metrics["grad_norm_vit"] = optax.global_norm(grads["aggregator"]["vit"])
+        metrics["grad_norm_agg"] = optax.global_norm(
+            {k: v for k, v in grads["aggregator"].items() if k != "vit"})
+        metrics["grad_norm_camera"] = optax.global_norm(grads["camera_head"])
+        metrics["grad_norm_depth"] = optax.global_norm(grads["depth_head"])
+        metrics["grad_norm_point"] = optax.global_norm(grads["point_head"])
         metrics["learning_rate"] = make_schedule(train_cfg)(state["step"])
         new_state = {
             "params": new_params,

@@ -155,4 +155,11 @@ def scene_loss(
         "mean_px_residual": _masked_mean(residuals, weights),
         "mean_log_residual": _masked_mean(res_log, weights),
     }
+    # residual-distribution quantiles: the mean is outlier-dominated (it is
+    # the mean of exp-scale values), so a plateau in the mean cannot
+    # distinguish "everything is stuck" from "a tail of bad pairs"; the
+    # quantiles separate those regimes (VERDICT r3 next-round #3).
+    masked = jnp.where(weights > 0, res_log, jnp.nan)
+    for q in (10, 50, 90):
+        metrics[f"log_residual_p{q}"] = jnp.nanpercentile(masked, q)
     return total, metrics

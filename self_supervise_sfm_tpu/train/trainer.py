@@ -223,6 +223,15 @@ def maybe_init_distributed():
 
 def run(cfg: TrainerConfig):
     maybe_init_distributed()
+    # persistent compile cache: full-model train-step compiles are ~50 s
+    # through the remote-TPU AOT helper; relaunches (curve extensions,
+    # resume-after-preemption) should not pay it again
+    _cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     os.makedirs(cfg.results_dir, exist_ok=True)
     devices = jax.devices()
     num_context = cfg.num_context
