@@ -17,10 +17,21 @@ confidence abs. Writes ``PARITY_BF16_r03.json``.
 Run in two phases (the TPU plugin claims the backend at init, so fp32-CPU
 and bf16-TPU cannot share a process):
 
-    python tools/bf16_parity.py cpu   # writes /tmp/bf16_parity_ref.npz
-    python tools/bf16_parity.py tpu   # reads it, writes PARITY_BF16_r03.json
+    python tools/bf16_parity.py cpu   # writes /tmp/bf16_parity_ref_<tag>.npz
+    python tools/bf16_parity.py tpu   # reads it, writes PARITY_BF16_<tag>.json
+
+Trained-weights mode (VERDICT r3 #5 — the r03 budget rests on random init,
+whose adaLN refinement Jacobian amplifies trunk noise arbitrarily; the
+"trained heads contract" claim must be measured on a trained checkpoint):
+
+    python tools/bf16_parity.py cpu --tag r04 --depth 12 --vit-depth 12 \
+        --checkpoint artifacts/train_conv_r04b/checkpoints \
+        --scene-root artifacts/scenes518_r04
+    python tools/bf16_parity.py tpu  [same flags]
+    python tools/bf16_parity.py tpu32 [same flags]   # fp32-TPU control
 """
 
+import argparse
 import json
 import os
 import sys
@@ -30,8 +41,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-MODE = sys.argv[1] if len(sys.argv) > 1 else "cpu"
-REF_NPZ = "/tmp/bf16_parity_ref.npz"
+ap = argparse.ArgumentParser()
+ap.add_argument("mode", nargs="?", default="cpu", choices=["cpu", "tpu", "tpu32"])
+ap.add_argument("--tag", default="r03")
+ap.add_argument("--checkpoint", default="",
+                help="orbax checkpoint dir: use trained params instead of random init")
+ap.add_argument("--scene-root", default="",
+                help="dataset root: draw eval images from scene 0 (in-distribution) "
+                     "instead of uniform noise")
+ap.add_argument("--depth", type=int, default=24)
+ap.add_argument("--vit-depth", type=int, default=24)
+ARGS = ap.parse_args()
+MODE = ARGS.mode
+REF_NPZ = f"/tmp/bf16_parity_ref_{ARGS.tag}.npz"
 
 import jax
 
@@ -61,18 +83,56 @@ def log(m):
     print(f"[{time.time() - t0:6.1f}s] {m}", flush=True)
 
 
-def run(compute_dtype):
+def make_config(compute_dtype):
     # fp32 flash blocks exceed the 16 MB scoped-VMEM cap (the kernels are
     # built for the bf16 production path); the fp32-TPU control runs dense
     # XLA attention instead
     attn = "dense" if compute_dtype == "float32" else "auto"
-    cfg = M.make_config(compute_dtype=compute_dtype, attn_impl=attn,
-                        global_attn_impl=attn)
-    params = jax.jit(
+    kw = {}
+    if ARGS.depth != 24:
+        # mirror the trainer's tap spread (trainer.py model_kw)
+        kw["intermediate_layer_idx"] = tuple(
+            round((i + 1) * ARGS.depth / 4) - 1 for i in range(4))
+    return M.make_config(compute_dtype=compute_dtype, attn_impl=attn,
+                         global_attn_impl=attn, depth=ARGS.depth,
+                         vit_depth=ARGS.vit_depth, **kw)
+
+
+def load_params(cfg):
+    if ARGS.checkpoint:
+        from self_supervise_sfm_tpu.train.checkpoint import CheckpointManager
+
+        state = CheckpointManager(ARGS.checkpoint).restore()
+        assert state is not None, f"no checkpoint under {ARGS.checkpoint}"
+        log(f"loaded trained params (step {int(state['step'])}) "
+            f"from {ARGS.checkpoint}")
+        params = jax.device_put(state["params"])
+        return int(state["step"]), jax.jit(
+            lambda p: M.cast_trunk_weights(p, cfg))(params)
+    return None, jax.jit(
         lambda k: M.cast_trunk_weights(M.init_sailrecon(k, cfg), cfg)
     )(jax.random.PRNGKey(0))
+
+
+def load_images():
+    """(anchor, query) image batches — scene frames when --scene-root."""
     rng = np.random.default_rng(0)
-    uniq = rng.uniform(size=(1, A, IMG, IMG, 3)).astype(np.float32)
+    if ARGS.scene_root:
+        from self_supervise_sfm_tpu.data.imc2021 import IMC2021Scenes
+
+        ds = IMC2021Scenes(ARGS.scene_root, sample_num=8, num_images=A + Q,
+                           target_size=IMG, use_native=False)
+        sc = ds.load_scene(0, np.random.default_rng(0))
+        imgs = np.asarray(sc["images"], np.float32)
+        return imgs[None, :A], imgs[None, A:A + Q]
+    return (rng.uniform(size=(1, A, IMG, IMG, 3)).astype(np.float32),
+            rng.uniform(size=(1, Q, IMG, IMG, 3)).astype(np.float32))
+
+
+def run(compute_dtype):
+    cfg = make_config(compute_dtype)
+    _, params = load_params(cfg)
+    uniq, query = load_images()
     imgs_fwd = jnp.asarray(np.concatenate([uniq, uniq], axis=1))
     key = jax.random.PRNGKey(1)
 
@@ -84,7 +144,7 @@ def run(compute_dtype):
 
     log(f"{compute_dtype}: cache build + reloc...")
     uimgs = jnp.asarray(uniq)
-    qimgs = jnp.asarray(rng.uniform(size=(1, Q, IMG, IMG, 3)).astype(np.float32))
+    qimgs = jnp.asarray(query)
     cache, cam_tok = jax.jit(lambda p, x, k: M.build_scene_cache(
         p, cfg, x, rank=RANK, subsample_key=k))(params, uimgs, key)
     rel = jax.jit(lambda p, c, ct, x: M.reloc(p, cfg, c, ct, x))(
@@ -166,25 +226,36 @@ def main():
     ref = np.load(REF_NPZ)
     dtype = "float32" if MODE == "tpu32" else "bfloat16"
     fwd, rel = run(dtype)
+    note = (
+        "Random weights (no pretrained checkpoint is fetchable in this "
+        "env): cam_tokens is the budget that transfers — it is the bf16 "
+        "trunk's actual output (heads run fp32 in BOTH configs, the "
+        "reference's AMP boundary). The pose/FoV deltas additionally "
+        "pass through 4 chaotic adaLN refinement iterations whose "
+        "random-init Jacobian amplifies trunk noise arbitrarily; with "
+        "trained weights the head contracts toward the data manifold "
+        "instead."
+    ) if not ARGS.checkpoint else (
+        "Trained weights (the 518px corner_rand curriculum checkpoint) on "
+        "in-distribution scene frames — the direct test of the r03 "
+        "'trained heads contract trunk noise' claim. Heads run fp32 in "
+        "both configs (the reference's AMP boundary); deltas here are what "
+        "bf16 costs on the production serving path."
+    )
     out = {
         "config": {"img": IMG, "anchors": A, "queries": Q, "rank": RANK,
+                   "depth": ARGS.depth, "vit_depth": ARGS.vit_depth,
+                   "weights": (ARGS.checkpoint or "random init key 0"),
+                   "images": (f"{ARGS.scene_root} scene 0"
+                              if ARGS.scene_root else "uniform noise"),
                    "fp32": "CPU (the PARITY_FLAGSHIP.json-proven config)",
                    "compared": f"{dtype} trunk on TPU v5e, fp32 heads"},
         "forward": {k: budget(k, fwd[k], ref[f"fwd_{k}"]) for k in fwd},
         "reloc": {k: budget(k, rel[k], ref[f"rel_{k}"]) for k in rel},
-        "note": (
-            "Random weights (no pretrained checkpoint is fetchable in this "
-            "env): cam_tokens is the budget that transfers — it is the bf16 "
-            "trunk's actual output (heads run fp32 in BOTH configs, the "
-            "reference's AMP boundary). The pose/FoV deltas additionally "
-            "pass through 4 chaotic adaLN refinement iterations whose "
-            "random-init Jacobian amplifies trunk noise arbitrarily; with "
-            "trained weights the head contracts toward the data manifold "
-            "instead."
-        ),
+        "note": note,
     }
-    name = ("PARITY_BF16_r03.json" if MODE != "tpu32"
-            else "PARITY_TPU32_CONTROL_r03.json")
+    name = (f"PARITY_BF16_{ARGS.tag}.json" if MODE != "tpu32"
+            else f"PARITY_TPU32_CONTROL_{ARGS.tag}.json")
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
