@@ -56,20 +56,30 @@ def _shrink_qkv_bn(bn: int, N: int, C: int, nh: int, d: int, e: int) -> int:
     fp32 bias 3C*4, double-buffered x block, rope tables and the three
     per-head outputs, plus fp32 LN/accumulator scratch (x + qkv rows).
     """
-    bn = min(bn, N)
-    while bn > 64:
-        fixed = C * 3 * C * e + 3 * C * 4
-        per_row = (
-            2 * C * e            # x block, double-buffered
-            + 2 * 2 * d * 4      # cos+sin f32, double-buffered
-            + 2 * 3 * nh * d * e  # q/k/v out blocks, double-buffered
-            + C * 4 + 3 * C * 4  # f32 x rows + qkv accumulator
-            + 8 * d * 4          # per-head qk-norm/rope temporaries
-        )
-        if fixed + bn * per_row <= _VMEM_BUDGET:
-            break
+    fixed = C * 3 * C * e + 3 * C * 4
+    per_row = (
+        2 * C * e            # x block, double-buffered
+        + 2 * 2 * d * 4      # cos+sin f32, double-buffered
+        + 2 * 3 * nh * d * e  # q/k/v out blocks, double-buffered
+        + C * 4 + 3 * C * 4  # f32 x rows + qkv accumulator
+        + 8 * d * 4          # per-head qk-norm/rope temporaries
+    )
+
+    def fits(b):
+        return fixed + b * per_row <= _VMEM_BUDGET
+
+    # a block spanning the full token axis is always a legal Mosaic block
+    # shape (block == array dim); prefer it when it fits — no grid remainder
+    if N <= bn and fits(N):
+        return N
+    # PARTIAL blocks must keep the second-minor dim 8-divisible. Shrink on
+    # multiples of 64 computed independently of N: the previous form
+    # (bn = min(bn, N); bn -= 64) inherited N's remainder mod 64, so an
+    # over-budget N = 252 (154px frame site) yielded the illegal block 188.
+    bn = max(64, (min(bn, N) // 64) * 64)
+    while bn > 64 and not fits(bn):
         bn -= 64
-    return max(bn, 64)
+    return bn
 
 
 def _ln_rows(x32, scale, bias, eps):

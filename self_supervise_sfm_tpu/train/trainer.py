@@ -72,6 +72,13 @@ class TrainerConfig:
     num_heads: int = 16
     vit_depth: int = 24
     pretrained: str = ""  # optional torch sailrecon.pt to convert+load
+    # orbax checkpoint dir to seed params from with a FRESH optimizer,
+    # schedule and step counter (vs results-dir resume, which restores the
+    # full state). This is the coarse-to-fine hand-off: a low-resolution
+    # phase's weights carry into a higher-resolution phase unchanged (the
+    # ViT pos-embed is resized at runtime by the matrix interp, vit.py),
+    # while the new phase gets its own warmup/cosine schedule.
+    init_params_from: str = ""
     img_size: int = 518
     # jax.profiler trace window: capture steps [profile_start,
     # profile_start + profile_steps) into <results_dir>/profile
@@ -280,6 +287,18 @@ def run(cfg: TrainerConfig):
                 state["opt_state"],
                 Sh.param_sharding(mesh, state["opt_state"], fsdp=fsdp, tp=tp),
             )
+    elif cfg.init_params_from:
+        print(f"seeding params from checkpoint: {cfg.init_params_from}")
+        prev = CheckpointManager(cfg.init_params_from).restore()
+        assert prev is not None, f"no checkpoint under {cfg.init_params_from}"
+        state = train_state_from_params(prev["params"], key, tcfg)
+        del prev
+        if fsdp or tp:
+            for k in ("params", "opt_state"):
+                state[k] = jax.device_put(
+                    state[k],
+                    Sh.param_sharding(mesh, state[k], fsdp=fsdp, tp=tp),
+                )
     elif fsdp or tp:
         from .loop import init_train_state_sharded
 
@@ -519,6 +538,10 @@ def main():
     ap.add_argument("--max-lr", type=float, default=2e-4)
     ap.add_argument("--warmup", type=int, default=2000)
     ap.add_argument("--pretrained", default="")
+    ap.add_argument("--init-params-from", default="",
+                    help="orbax checkpoint dir: seed params only (fresh "
+                         "optimizer + schedule) — the coarse-to-fine "
+                         "resolution-schedule hand-off")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fsdp", action="store_true",
@@ -566,6 +589,7 @@ def main():
         num_context=args.num_context,
         num_model=args.tp,
         pretrained=args.pretrained,
+        init_params_from=args.init_params_from,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
         profile_start=args.profile_start,

@@ -31,6 +31,33 @@ def make_inputs(rng, B=2, N=300, C=128, nh=4, dtype=jnp.float32):
     return x, args, cos, sin, nh
 
 
+class TestShrinkBlockLegality:
+    """Mosaic requires partial blocks to be 8-divisible; only a block equal
+    to the full token axis may take an arbitrary size. Regression: at the
+    154px frame site (N=252, flagship C=1024) the shrinker inherited N's
+    remainder mod 64 and returned the illegal partial block 188."""
+
+    @pytest.mark.parametrize("C,nh", [(1024, 16), (2048, 16), (128, 4)])
+    def test_result_is_full_axis_or_8_divisible(self, C, nh):
+        d = C // nh
+        for N in list(range(8, 600, 4)) + [1374, 2048]:
+            for itemsize in (2, 4):
+                bn = FQ._shrink_qkv_bn(256, N, C, nh, d, itemsize)
+                assert bn == N or bn % 8 == 0, (N, C, itemsize, bn)
+
+    def test_154px_frame_site_shape_runs(self, rng):
+        # the exact shape that crashed: bf16, N=252, C=1024
+        x, args, cos, sin, nh = make_inputs(rng, B=1, N=252, C=1024, nh=16,
+                                            dtype=jnp.bfloat16)
+        ref = FQ.reference_qkv(x, *args.values(), cos, sin, num_heads=nh)
+        got = FQ.fused_qkv_kernel(
+            x, *args.values(), cos, sin, num_heads=nh, interpret=True)
+        for g, r, nm in zip(got, ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(r, np.float32),
+                atol=0.05, err_msg=nm)
+
+
 class TestFusedQKVKernel:
     @pytest.mark.parametrize("N", [256, 300, 458])
     def test_kernel_matches_reference_f32(self, rng, N):
