@@ -47,6 +47,14 @@ class TrainConfig:
     # per-layer all-gathers and reduce-scatters. Activated only when a mesh
     # with data extent > 1 is active at make_train_step time.
     fsdp: bool = False
+    # Global-norm gradient clipping (0 disables — the reference's exact
+    # configuration, no clipping anywhere in train_imc.py). Opt-in for
+    # from-random curve runs: the CDF loss saturates at 2.0 with ZERO
+    # gradient once residuals exceed max_val, so a single spike-driven bad
+    # step can push the whole residual distribution over the boundary and
+    # kill the run unrecoverably (measured: the 154px phase died exactly
+    # this way at step ~4700, grad spikes of 20-55x the typical norm).
+    grad_clip_norm: float = 0.0
 
 
 def make_schedule(cfg: TrainConfig):
@@ -63,10 +71,14 @@ def make_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.adam(
+    adam = optax.adam(
         make_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8,
         mu_dtype=jnp.dtype(cfg.adam_mu_dtype),
     )
+    if cfg.grad_clip_norm > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), adam)
+    return adam
 
 
 def init_train_state(key, model_cfg: M.SailReconConfig, train_cfg: TrainConfig):

@@ -576,6 +576,12 @@ def main():
                     help="steps after --loss-switch-step train with this "
                          "CDF max_val (0 disables)")
     ap.add_argument("--loss-switch-step", type=int, default=0)
+    ap.add_argument("--grad-clip-norm", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off, the "
+                         "reference's configuration); recommended ~1.0 for "
+                         "from-random runs — an unclipped spike can push "
+                         "residuals past the CDF range where the loss "
+                         "saturates with zero gradient (unrecoverable)")
     args = ap.parse_args()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -608,7 +614,8 @@ def main():
         train=TrainConfig(max_lr=args.max_lr, warmup_steps=args.warmup,
                           total_steps=args.steps,
                           loss=LossConfig(max_val=args.loss_max_val),
-                          fsdp=args.fsdp, adam_mu_dtype=args.adam_mu_dtype),
+                          fsdp=args.fsdp, adam_mu_dtype=args.adam_mu_dtype,
+                          grad_clip_norm=args.grad_clip_norm),
     )
     run(cfg)
 
