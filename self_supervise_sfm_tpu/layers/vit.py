@@ -136,6 +136,19 @@ def _interpolate_pos_embed(pos_embed: jax.Array, grid_hw, native_grid: int):
     return jnp.concatenate([cls_pe, out.reshape(1, h * w, -1)], axis=1)
 
 
+def resample_pos_embed(pos_embed: jax.Array, target_grid: int) -> jax.Array:
+    """Resample a (1, 1+g², D) positional embedding PARAM to a new native
+    grid — the coarse-to-fine hand-off (a phase trained at img_size=154
+    stores an 11×11 pos embed; resuming at 518 needs 37×37). Runtime
+    non-native inputs are handled by ``_interpolate_pos_embed`` inside
+    ``vit_forward``; this converts the stored parameter itself, once, at
+    load time."""
+    n = pos_embed.shape[1] - 1
+    g = int(round(n ** 0.5))
+    assert g * g == n, f"pos_embed token count {n} is not a square grid"
+    return _interpolate_pos_embed(pos_embed, (target_grid, target_grid), g)
+
+
 def vit_forward(
     p,
     images: jax.Array,

@@ -291,8 +291,22 @@ def run(cfg: TrainerConfig):
         print(f"seeding params from checkpoint: {cfg.init_params_from}")
         prev = CheckpointManager(cfg.init_params_from).restore()
         assert prev is not None, f"no checkpoint under {cfg.init_params_from}"
-        state = train_state_from_params(prev["params"], key, tcfg)
-        del prev
+        prev_params = prev["params"]
+        # cross-resolution hand-off: the ViT pos embed is the ONE param
+        # whose shape depends on img_size; resample it to this phase's
+        # native grid (everything else — patchify conv, rope tables, DPT
+        # interp matrices — is resolution-independent or built at runtime)
+        from ..layers.vit import resample_pos_embed
+
+        pe = prev_params["aggregator"]["vit"]["pos_embed"]
+        target_grid = cfg.img_size // model_cfg.aggregator.vit.patch_size
+        if pe.shape[1] != target_grid * target_grid + 1:
+            print(f"resampling ViT pos embed {pe.shape[1] - 1} -> "
+                  f"{target_grid * target_grid} patch tokens")
+            prev_params["aggregator"]["vit"]["pos_embed"] = jax.jit(
+                resample_pos_embed, static_argnums=1)(pe, target_grid)
+        state = train_state_from_params(prev_params, key, tcfg)
+        del prev, prev_params
         if fsdp or tp:
             for k in ("params", "opt_state"):
                 state[k] = jax.device_put(

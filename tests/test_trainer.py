@@ -321,3 +321,45 @@ def test_grad_clip_norm_bounds_update():
             assert float(optax.global_norm(clipped)) <= clip + 1e-6
         assert all(np.isfinite(np.asarray(u)).all()
                    for u in jax.tree.leaves(updates))
+
+
+def test_init_params_from_cross_resolution(tmp_path, monkeypatch):
+    """Coarse-to-fine hand-off: phase A trains+checkpoints at img 28, phase
+    B seeds params from it at img 56 — the ViT pos embed (the one
+    resolution-shaped param) is resampled at load; everything else carries
+    over unchanged, with a fresh optimizer/step."""
+    from self_supervise_sfm_tpu.train import trainer as T
+    from self_supervise_sfm_tpu.train.loop import TrainConfig
+    from self_supervise_sfm_tpu.train.loss import LossConfig
+    from self_supervise_sfm_tpu.models import sailrecon as M
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=1, num_images=3,
+                           image_size=(80, 60))
+    orig_make = M.make_config
+
+    def tiny_make_config(**kw):
+        kw.update(dict(embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+                       intermediate_layer_idx=(0, 1, 2, 3)))
+        return orig_make(**kw)
+
+    monkeypatch.setattr(M, "make_config", tiny_make_config)
+
+    def cfg(img, results, **kw):
+        return T.TrainerConfig(
+            data_root=root, results_dir=str(tmp_path / results),
+            total_steps=2, num_images=2, sample_num=64, img_size=img,
+            checkpoint_every=2, artifact_every=0, sanity_check_every=0,
+            log_every=1, compute_dtype="float32", remat=False, rank=2,
+            train=TrainConfig(max_lr=1e-4, warmup_steps=1, total_steps=2,
+                              rank=2, num_images=2,
+                              loss=LossConfig(num_bins=50)),
+            **kw,
+        )
+
+    T.run(cfg(28, "phaseA"))
+    ckpt = os.path.join(str(tmp_path / "phaseA"), "checkpoints")
+    state = T.run(cfg(56, "phaseB", init_params_from=ckpt))
+    assert int(state["step"]) == 2
+    pe = state["params"]["aggregator"]["vit"]["pos_embed"]
+    assert pe.shape[1] == (56 // 14) ** 2 + 1  # resampled to the 4x4 grid
