@@ -39,6 +39,14 @@ class DPTHeadConfig:
     pos_embed: bool = True
     feature_only: bool = False
     down_ratio: int = 1
+    # Storage dtype of the FINAL full-resolution upsample (the tensor
+    # feeding output_conv2). On TPU the consumer conv multiplies in bf16 at
+    # DEFAULT precision regardless, so "bfloat16" applies the identical
+    # rounding one op earlier and halves XLA's convert+relayout copy
+    # (2 x 1.51 ms at 518px, PERF_r03 "DPT channels-last conversions");
+    # the conv then accumulates f32 explicitly. "float32" (default) is the
+    # reference-parity configuration.
+    final_upsample_dtype: str = "float32"
 
 
 def _init_rcu(key, features):
@@ -193,18 +201,23 @@ def dpt_head(
         int(ph * cfg.patch_size / cfg.down_ratio),
         int(pw * cfg.patch_size / cfg.down_ratio),
     )
+    up_dtype = jnp.dtype(cfg.final_upsample_dtype)
+    up_kw = {} if up_dtype == out.dtype else {"out_dtype": up_dtype}
     if cfg.pos_embed:
         # the post-resize pos-embed rides the resize call so the Pallas
         # H-pass can fuse the add (saves a full-resolution HBM round trip)
         pe = _pos_embed_grid(out_hw[0], out_hw[1], out.shape[-1], W, H,
                              out.dtype)
-        out = resize_bilinear_ac(out, out_hw, add=pe)
+        out = resize_bilinear_ac(out, out_hw, add=pe, **up_kw)
     else:
-        out = resize_bilinear_ac(out, out_hw)
+        out = resize_bilinear_ac(out, out_hw, **up_kw)
     if cfg.feature_only:
         return out.reshape(B, S, *out.shape[1:])
 
-    out = P.conv2d(s["output_conv2"]["conv1"], out)
+    # f32 accumulation keeps the math identical when the upsample stored
+    # bf16 (the TPU backend's own internal mix for f32 inputs)
+    accum = jnp.float32 if out.dtype != jnp.float32 else None
+    out = P.conv2d(s["output_conv2"]["conv1"], out, accum_dtype=accum)
     out = jax.nn.relu(out)
     out = P.conv2d(s["output_conv2"]["conv2"], out)
     preds, conf = activate_head(out, cfg.activation, cfg.conf_activation)

@@ -50,31 +50,34 @@ def _resize_einsum(x: jax.Array, out_hw) -> jax.Array:
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _resize_kernel_vjp(x, add, out_hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _resize_kernel_vjp(x, add, out_hw, out_dtype=None):
     from ..ops.resize import resize_bilinear_kernel
 
     return resize_bilinear_kernel(
-        x, out_hw, _interp_matrix_ac(out_hw[1], x.shape[2]), add=add
+        x, out_hw, _interp_matrix_ac(out_hw[1], x.shape[2]), add=add,
+        out_dtype=out_dtype,
     )
 
 
-def _resize_kernel_fwd(x, add, out_hw):
+def _resize_kernel_fwd(x, add, out_hw, out_dtype=None):
     # the backward of this LINEAR map needs only x's (H, W) and add's dtype
     # — carried as zero-element token arrays: bare python shapes/dtypes are
     # not valid residual leaves once the bwd actually traces (surfaced by
     # the big-batch train step, where the kernel path engages)
     shape_tok = jnp.zeros((0,) + x.shape[1:3] + (0,), x.dtype)
     add_tok = None if add is None else jnp.zeros((0,), add.dtype)
-    return _resize_kernel_vjp(x, add, out_hw), (shape_tok, add_tok)
+    return _resize_kernel_vjp(x, add, out_hw, out_dtype), (shape_tok, add_tok)
 
 
-def _resize_kernel_bwd(out_hw, res, g):
+def _resize_kernel_bwd(out_hw, out_dtype, res, g):
     # linear map: vjp = transpose contraction with the same interp matrices;
-    # the fused addend is broadcast over N, so its cotangent is the N-sum
+    # the fused addend is broadcast over N, so its cotangent is the N-sum.
+    # With an out_dtype the store rounding is treated straight-through.
     shape_tok, add_tok = res
     H2, W2 = out_hw
     H, W = shape_tok.shape[1], shape_tok.shape[2]
+    g = g.astype(shape_tok.dtype)
     Ah = jnp.asarray(_interp_matrix_ac(H2, H), g.dtype)
     Aw = jnp.asarray(_interp_matrix_ac(W2, W), g.dtype)
     with jax.default_matmul_precision("highest"):
@@ -87,8 +90,8 @@ def _resize_kernel_bwd(out_hw, res, g):
 _resize_kernel_vjp.defvjp(_resize_kernel_fwd, _resize_kernel_bwd)
 
 
-def resize_bilinear_ac(x: jax.Array, out_hw, add: jax.Array | None = None
-                       ) -> jax.Array:
+def resize_bilinear_ac(x: jax.Array, out_hw, add: jax.Array | None = None,
+                       out_dtype=None) -> jax.Array:
     """(N, H, W, C) -> (N, H2, W2, C), bilinear, align_corners=True.
 
     Large upsamples take the Pallas two-pass kernel (``ops/resize``): the
@@ -103,14 +106,16 @@ def resize_bilinear_ac(x: jax.Array, out_hw, add: jax.Array | None = None
     H2, W2 = out_hw
     N, H, W, C = x.shape
     if (H, W) == (H2, W2):
-        return x if add is None else x + add[None].astype(x.dtype)
+        y = x if add is None else x + add[None].astype(x.dtype)
+        return y.astype(out_dtype) if out_dtype else y
     if jax.default_backend() == "tpu":
         from ..ops.resize import resize_kernel_applicable
 
         if resize_kernel_applicable(x.shape, out_hw):
-            return _resize_kernel_vjp(x, add, tuple(out_hw))
+            return _resize_kernel_vjp(x, add, tuple(out_hw), out_dtype)
     y = _resize_einsum(x, out_hw)
-    return y if add is None else y + add[None].astype(y.dtype)
+    y = y if add is None else y + add[None].astype(y.dtype)
+    return y.astype(out_dtype) if out_dtype else y
 
 
 def make_sincos_pos_embed(embed_dim: int, pos: jax.Array, omega_0: float = 100.0):

@@ -77,8 +77,15 @@ def init_conv(key, kh: int, kw: int, c_in: int, c_out: int, bias: bool = True):
     return p
 
 
-def conv2d(p, x, stride=1, padding="SAME"):
-    """x: (N, H, W, C_in) -> (N, H', W', C_out)."""
+def conv2d(p, x, stride=1, padding="SAME", accum_dtype=None):
+    """x: (N, H, W, C_in) -> (N, H', W', C_out).
+
+    ``accum_dtype``: output/accumulation dtype when x is low-precision
+    (``preferred_element_type``). A bf16 input with accum_dtype=f32 is
+    exactly what the TPU conv backend does internally for f32 inputs at
+    DEFAULT precision (bf16 MXU multiply, f32 accumulate) — making the
+    boundary explicit lets the producer store bf16 and skip the f32 copy.
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     y = jax.lax.conv_general_dilated(
@@ -87,9 +94,10 @@ def conv2d(p, x, stride=1, padding="SAME"):
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype,
     )
     if "b" in p:
-        y = y + p["b"].astype(x.dtype)
+        y = y + p["b"].astype(y.dtype)
     return y
 
 

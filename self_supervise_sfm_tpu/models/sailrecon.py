@@ -110,6 +110,11 @@ def make_config(
         dim_in=2 * embed_dim,
         patch_size=patch_size,
         intermediate_layer_idx=tuple(intermediate_layer_idx),
+        # bf16 production path: store the final full-res upsample in the
+        # compute dtype — the consumer conv multiplies in bf16 at DEFAULT
+        # TPU precision either way (f32 accumulate kept explicit); halves
+        # the convert+relayout copy feeding it. fp32 configs unchanged.
+        final_upsample_dtype=compute_dtype,
     )
     return SailReconConfig(
         aggregator=agg,

@@ -99,14 +99,16 @@ def _h_kernel(xa_ref, xb_ref, *rest, th: int, rh: int, H: int, H2: int,
 
 
 def _resize_h(x: jax.Array, H2: int, th: int = _H_TILE,
-              interpret: bool = False, add=None):
+              interpret: bool = False, add=None, out_dtype=None):
     """H-pass 2-tap lerp; ``add`` (H2, W, C) is an optional fused epilogue
     addend shared across N (the DPT pos-embed): grid iterates N innermost so
     each ``add`` block is DMA'd once, not once per frame."""
     N, H, W, C = x.shape
+    out_dtype = out_dtype or x.dtype
     if H == 1:
         x = jnp.broadcast_to(x, (N, H2, W, C))
-        return x if add is None else x + add[None].astype(x.dtype)
+        y = x if add is None else x + add[None].astype(x.dtype)
+        return y.astype(out_dtype)
     rh = th
     # halo containment: with th == rh the needed span per output tile is
     # ceil((th-1)*(H-1)/(H2-1)) + 1 <= rh rows past lo(j0), which always fits
@@ -137,7 +139,7 @@ def _resize_h(x: jax.Array, H2: int, th: int = _H_TILE,
         grid=(_cdiv(H2, th), N),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, W, C), lambda i, n: (n, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, H2, W, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, H2, W, C), out_dtype),
         interpret=interpret,
     )(*operands)
 
@@ -164,7 +166,7 @@ def resize_kernel_applicable(shape, out_hw) -> bool:
 
 def resize_bilinear_kernel(
     x: jax.Array, out_hw, aw: np.ndarray, interpret: bool = False,
-    add: jax.Array | None = None,
+    add: jax.Array | None = None, out_dtype=None,
 ) -> jax.Array:
     """(N, H, W, C) -> (N, H2, W2, C): Pallas W-matmul pass + H-lerp pass.
 
@@ -172,10 +174,17 @@ def resize_bilinear_kernel(
     einsum path — results match to fp32 rounding).
     ``add``: optional (H2, W2, C) addend fused into the H-pass epilogue
     (the DPT final pos-embed — saves a full-image HBM round trip).
+    ``out_dtype``: optional store dtype for the H-pass epilogue. The DPT
+    head's consumer conv runs its MXU multiply in bf16 regardless (TPU
+    default conv precision), so storing bf16 applies the SAME rounding one
+    op earlier and halves the bytes of XLA's convert+relayout copy feeding
+    the conv (measured 2x1.51 ms at 518px).
     """
     H2, W2 = out_hw
     if x.shape[2] != W2:
         x = _resize_w(x, aw, interpret=interpret)
     if x.shape[1] != H2:
-        return _resize_h(x, H2, interpret=interpret, add=add)
-    return x if add is None else x + add[None].astype(x.dtype)
+        return _resize_h(x, H2, interpret=interpret, add=add,
+                         out_dtype=out_dtype)
+    y = x if add is None else x + add[None].astype(x.dtype)
+    return y.astype(out_dtype) if out_dtype else y

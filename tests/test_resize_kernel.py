@@ -70,7 +70,8 @@ def test_bwd_is_einsum_transpose(rng):
     _, vjp = jax.vjp(lambda t: _resize_einsum(t, (h2, w2)), x)
     (ref,) = vjp(g)
     got, dadd = _resize_kernel_bwd(
-        (h2, w2), (jnp.zeros((0,) + x.shape[1:3] + (0,), x.dtype), None), g)
+        (h2, w2), None,
+        (jnp.zeros((0,) + x.shape[1:3] + (0,), x.dtype), None), g)
     assert dadd is None
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
@@ -88,7 +89,7 @@ def test_bwd_fused_add_is_einsum_transpose(rng):
     )
     ref_dx, ref_dadd = vjp(g)
     got_dx, got_dadd = _resize_kernel_bwd(
-        (h2, w2),
+        (h2, w2), None,
         (jnp.zeros((0,) + x.shape[1:3] + (0,), x.dtype),
          jnp.zeros((0,), add.dtype)), g)
     np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
@@ -107,3 +108,22 @@ def test_identity_rows_passthrough(rng):
     np.testing.assert_allclose(
         np.asarray(out)[:, ::2, ::2], np.asarray(x), atol=1e-6
     )
+
+
+def test_out_dtype_bf16_store_matches_f32(rng):
+    """out_dtype=bfloat16 stores the f32 H-pass result rounded once — the
+    same rounding the consumer conv applies internally at DEFAULT TPU
+    precision; values must equal the f32 path rounded to bf16."""
+    from self_supervise_sfm_tpu.ops.resize import resize_bilinear_kernel
+    from self_supervise_sfm_tpu.heads.dpt_utils import _interp_matrix_ac
+
+    n, h, w, h2, w2, c = 2, 10, 12, 21, 25, 8
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    add = jnp.asarray(rng.normal(size=(h2, w2, c)).astype(np.float32))
+    aw = _interp_matrix_ac(w2, w)
+    f32 = resize_bilinear_kernel(x, (h2, w2), aw, add=add, interpret=True)
+    bf16 = resize_bilinear_kernel(x, (h2, w2), aw, add=add, interpret=True,
+                                  out_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(bf16), np.asarray(f32.astype(jnp.bfloat16)))
