@@ -193,7 +193,8 @@ def bench_train(out: dict) -> None:
             "throughput bench from RANDOM init at the reference max_val=15: "
             "residuals saturate the CDF range (sentinel 2.0) within a few "
             "steps — expected, zero-gradient by design (cdf_loss.py:235-240);"
-            " convergence behaviour is TRAIN_CURVE_r03.json's curriculum run"
+            " convergence behaviour is TRAIN_CURVE_r04.json's curriculum run"
+            " (and TRAIN_EVAL_r04.json for the pose-improvement protocol)"
         ),
         "train_tflops": round(tf / dt / 1e12, 1),
         "train_mfu": round(tf / dt / PEAK_BF16_FLOPS, 4),
