@@ -41,12 +41,22 @@ from ..utils import export as EX
 from ..utils.evaluation import absolute_trajectory_error
 
 
-def load_params(cfg, pretrained: str, key):
+def load_params(cfg, pretrained: str, key, orbax_checkpoint: str = ""):
     if pretrained:
         from ..utils import converter as C
 
         sd = C.load_torch_state_dict(pretrained)
         return C.convert_sailrecon(sd)
+    if orbax_checkpoint:
+        # in-framework trained weights (the trainer's checkpoint dir) — the
+        # training loop's output is directly servable by the demo
+        from ..train.checkpoint import CheckpointManager
+
+        state = CheckpointManager(orbax_checkpoint).restore()
+        assert state is not None, f"no checkpoint under {orbax_checkpoint}"
+        print(f"loaded trained params (step {int(state['step'])}) "
+              f"from {orbax_checkpoint}")
+        return state["params"]
     print("WARNING: no --pretrained checkpoint; using random weights")
     return M.init_sailrecon(key, cfg)
 
@@ -153,6 +163,12 @@ def main():
                          "call); the reference's memory_save equivalent")
     ap.add_argument("--num-scenes", type=int, default=3)
     ap.add_argument("--pretrained", default="")
+    ap.add_argument("--orbax-checkpoint", default="",
+                    help="orbax checkpoint dir from the in-framework "
+                         "trainer (use --depth/--vit-depth to match the "
+                         "trained shape)")
+    ap.add_argument("--depth", type=int, default=24)
+    ap.add_argument("--vit-depth", type=int, default=24)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--tracks-ba", action="store_true",
                     help="also run track prediction + bundle adjustment and "
@@ -166,9 +182,18 @@ def main():
                     action="store_false")
     args = ap.parse_args()
 
-    cfg = M.make_config(img_size=args.img_size, compute_dtype=args.compute_dtype)
+    model_kw = {}
+    if args.depth != 24:
+        # trainer-style tap spread for non-flagship depths (trainer.py)
+        model_kw["intermediate_layer_idx"] = tuple(
+            round((i + 1) * args.depth / 4) - 1 for i in range(4))
+    cfg = M.make_config(img_size=args.img_size,
+                        compute_dtype=args.compute_dtype,
+                        depth=args.depth, vit_depth=args.vit_depth,
+                        **model_kw)
     key = jax.random.PRNGKey(0)
-    params = load_params(cfg, args.pretrained, key)
+    params = load_params(cfg, args.pretrained, key,
+                         orbax_checkpoint=args.orbax_checkpoint)
 
     ds = IMC2021Scenes(
         args.data_root, sample_num=16, num_images=args.num_images,
