@@ -156,3 +156,25 @@ class TestViT:
             to_np(ref_out["x_norm_clstoken"]),
             atol=5e-4,
         )
+
+
+def test_resample_pos_embed_identity_and_shape():
+    """Param-level pos-embed resampling (the coarse-to-fine hand-off):
+    same-grid is exact identity; cross-grid keeps the cls slot untouched
+    and matches the runtime interp path's matrices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from self_supervise_sfm_tpu.layers.vit import (
+        _interpolate_pos_embed, resample_pos_embed)
+
+    rng = np.random.default_rng(0)
+    pe = jnp.asarray(rng.normal(size=(1, 1 + 11 * 11, 32)), jnp.float32)
+    same = resample_pos_embed(pe, 11)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(pe))
+    up = resample_pos_embed(pe, 37)
+    assert up.shape == (1, 1 + 37 * 37, 32)
+    np.testing.assert_array_equal(np.asarray(up[:, :1]), np.asarray(pe[:, :1]))
+    ref = _interpolate_pos_embed(pe, (37, 37), 11)
+    np.testing.assert_array_equal(np.asarray(up), np.asarray(ref))
