@@ -56,7 +56,20 @@ def load_params(cfg, pretrained: str, key, orbax_checkpoint: str = ""):
         assert state is not None, f"no checkpoint under {orbax_checkpoint}"
         print(f"loaded trained params (step {int(state['step'])}) "
               f"from {orbax_checkpoint}")
-        return state["params"]
+        params = state["params"]
+        # cross-resolution serving: a checkpoint trained at a different
+        # img_size carries a pos embed for that grid — resample it to this
+        # demo's grid (mirrors trainer.run's --init-params-from hand-off)
+        from ..layers.vit import resample_pos_embed
+
+        pe = params["aggregator"]["vit"]["pos_embed"]
+        target_grid = cfg.img_size // cfg.aggregator.patch_size
+        if pe.shape[1] != target_grid * target_grid + 1:
+            print(f"resampling ViT pos embed {pe.shape[1] - 1} -> "
+                  f"{target_grid * target_grid} patch tokens")
+            params["aggregator"]["vit"]["pos_embed"] = jax.jit(
+                resample_pos_embed, static_argnums=1)(pe, target_grid)
+        return params
     print("WARNING: no --pretrained checkpoint; using random weights")
     return M.init_sailrecon(key, cfg)
 

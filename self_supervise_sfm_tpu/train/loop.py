@@ -194,9 +194,12 @@ def make_train_step(model_cfg: M.SailReconConfig, train_cfg: TrainConfig,
         metrics["grad_norm_vit"] = optax.global_norm(grads["aggregator"]["vit"])
         metrics["grad_norm_agg"] = optax.global_norm(
             {k: v for k, v in grads["aggregator"].items() if k != "vit"})
-        metrics["grad_norm_camera"] = optax.global_norm(grads["camera_head"])
-        metrics["grad_norm_depth"] = optax.global_norm(grads["depth_head"])
-        metrics["grad_norm_point"] = optax.global_norm(grads["point_head"])
+        # heads are optional subtrees (cfg.enable_camera/depth/point); only
+        # report the norms for heads this config actually instantiates.
+        for head in ("camera_head", "depth_head", "point_head"):
+            if head in grads:
+                short = head.split("_")[0]
+                metrics[f"grad_norm_{short}"] = optax.global_norm(grads[head])
         metrics["learning_rate"] = make_schedule(train_cfg)(state["step"])
         new_state = {
             "params": new_params,

@@ -160,6 +160,8 @@ def scene_loss(
     # distinguish "everything is stuck" from "a tail of bad pairs"; the
     # quantiles separate those regimes (VERDICT r3 next-round #3).
     masked = jnp.where(weights > 0, res_log, jnp.nan)
-    for q in (10, 50, 90):
-        metrics[f"log_residual_p{q}"] = jnp.nanpercentile(masked, q)
+    p10, p50, p90 = jnp.nanpercentile(masked, jnp.array([10.0, 50.0, 90.0]))
+    metrics["log_residual_p10"] = p10
+    metrics["log_residual_p50"] = p50
+    metrics["log_residual_p90"] = p90
     return total, metrics
