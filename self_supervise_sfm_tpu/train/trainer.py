@@ -99,6 +99,16 @@ class TrainerConfig:
     # data plane: None = auto (C++ loader when cpp/dataplane builds — decode,
     # preprocess and sampling off the GIL), False = pure python/PIL
     native_loader: "bool | None" = None
+    # held-out validation + early stopping (train/validate.py): the r4 TTA
+    # study measured per-scene adaptation OVERFITTING past an optimum the
+    # trainer previously sailed through; these productize finding it.
+    eval_every: int = 0
+    eval_data_root: str = ""
+    eval_num_images: int = 8
+    eval_sample_num: int = 2048
+    eval_heldout_from: int = 0
+    eval_min_delta: float = 0.0
+    early_stop_patience: int = 0
     train: TrainConfig = field(default_factory=TrainConfig)
 
 
@@ -375,6 +385,28 @@ def run(cfg: TrainerConfig):
     )
     from .loop import make_eval_forward
 
+    # held-out validation: loads the eval scenes once; every process runs
+    # the (deterministic) validator so the early-stop decision is identical
+    # everywhere without a broadcast. Metrics/artifacts stay primary-only.
+    from .validate import BestTracker, EvalConfig, make_validator
+
+    ecfg = EvalConfig(
+        data_root=cfg.eval_data_root, every=cfg.eval_every,
+        num_images=cfg.eval_num_images, sample_num=cfg.eval_sample_num,
+        heldout_from=cfg.eval_heldout_from, patience=cfg.early_stop_patience,
+        min_delta=cfg.eval_min_delta,
+    )
+    validator = None
+    best_ckpt = None
+    tracker = BestTracker(ecfg.patience, ecfg.min_delta)
+    if ecfg.enabled:
+        validator = make_validator(model_cfg, tcfg, ecfg, cfg.img_size)
+        if cfg.checkpoint_every:
+            best_ckpt = CheckpointManager(
+                os.path.join(cfg.results_dir, "checkpoints_best"),
+                max_to_keep=1,
+            )
+
     # preemption handling (SURVEY §5): TPU pods don't resize elastically —
     # the idiomatic recovery is checkpoint-on-SIGTERM + restart-resume. The
     # handler only sets a flag; the loop checkpoints at the next step edge
@@ -523,6 +555,47 @@ def run(cfg: TrainerConfig):
                 dump_artifacts(step, preds, tcfg, host_batch, cfg.results_dir)
             if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
                 save_state(step)
+            if validator is not None and step % ecfg.every == 0:
+                # collective reshard (multi-process), then every process
+                # scores identically — the stop decision needs no broadcast
+                dparams = diag_params(state["params"])
+                if jax.process_count() == 1:
+                    vm = validator(dparams)
+                else:
+                    with Sh.activate_mesh(None):
+                        vm = validator(dparams)
+                improved, should_stop = tracker.update(
+                    step, vm["px_residual"])
+                if is_primary:
+                    writer.write(
+                        step, {**vm, "best_step": float(tracker.best_step)},
+                        prefix="val")
+                    print(
+                        f"[val {step}] px_residual {vm['px_residual']:.3f} "
+                        f"log {vm['log_residual']:.3f} (best "
+                        f"{tracker.best:.3f} @ {tracker.best_step})"
+                        + (" *" if improved else ""), flush=True)
+                if improved and best_ckpt is not None:
+                    if jax.process_count() == 1:
+                        best_ckpt.save(step, jax.device_get(state))
+                    else:
+                        best_ckpt.save(step, state)
+                if should_stop:
+                    if is_primary:
+                        print(
+                            f"early stop at step {step}: no improvement in "
+                            f"{tracker.stale} validations (best "
+                            f"{tracker.best:.4f} @ step {tracker.best_step})",
+                            flush=True)
+                    break
+    if validator is not None and is_primary:
+        import json as _json
+
+        with open(os.path.join(cfg.results_dir, "best.json"), "w") as f:
+            _json.dump(tracker.summary(), f)
+    if best_ckpt is not None:
+        best_ckpt.wait()
+        best_ckpt.close()
     # checkpoint_every=0 opts out of ALL saves (through the remote-TPU
     # tunnel a full-state device_get is minutes of wall clock; profiling and
     # curve runs don't want it)
@@ -574,6 +647,27 @@ def main():
     ap.add_argument("--num-heads", type=int, default=16)
     ap.add_argument("--vit-depth", type=int, default=24)
     ap.add_argument("--rank", type=int, default=300)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="run held-out validation every N steps (needs "
+                         "--eval-data-root; 0 disables)")
+    ap.add_argument("--eval-data-root", default="",
+                    help="directory of held-out scenes; the validation "
+                         "metric is their self-supervised reprojection "
+                         "residual (no GT poses needed)")
+    ap.add_argument("--eval-num-images", type=int, default=8)
+    ap.add_argument("--eval-sample-num", type=int, default=2048)
+    ap.add_argument("--eval-heldout-from", type=int, default=0,
+                    help="count only correspondence pairs touching frame "
+                         "index >= K — for per-scene TTA point "
+                         "--eval-data-root at the FULL scene and hold out "
+                         "its tail frames from training")
+    ap.add_argument("--eval-min-delta", type=float, default=0.0,
+                    help="relative improvement required to count as a new "
+                         "best (e.g. 0.01 = 1%%)")
+    ap.add_argument("--early-stop-patience", type=int, default=0,
+                    help="stop after P validations without improvement "
+                         "(0 disables); the best state is kept in "
+                         "<results-dir>/checkpoints_best")
     ap.add_argument("--no-native-loader", action="store_true",
                     help="force the pure-python data pipeline")
     ap.add_argument("--debug-nans", action="store_true",
@@ -625,6 +719,13 @@ def main():
         vit_depth=args.vit_depth,
         rank=args.rank,
         native_loader=False if args.no_native_loader else None,
+        eval_every=args.eval_every,
+        eval_data_root=args.eval_data_root,
+        eval_num_images=args.eval_num_images,
+        eval_sample_num=args.eval_sample_num,
+        eval_heldout_from=args.eval_heldout_from,
+        eval_min_delta=args.eval_min_delta,
+        early_stop_patience=args.early_stop_patience,
         train=TrainConfig(max_lr=args.max_lr, warmup_steps=args.warmup,
                           total_steps=args.steps,
                           loss=LossConfig(max_val=args.loss_max_val),

@@ -363,3 +363,91 @@ def test_init_params_from_cross_resolution(tmp_path, monkeypatch):
     assert int(state["step"]) == 2
     pe = state["params"]["aggregator"]["vit"]["pos_embed"]
     assert pe.shape[1] == (56 // 14) ** 2 + 1  # resampled to the 4x4 grid
+
+
+def test_best_tracker_logic():
+    """BestTracker: first measurement always counts; min_delta gates what
+    counts as improvement; patience counts consecutive stale validations."""
+    from self_supervise_sfm_tpu.train.validate import BestTracker
+
+    t = BestTracker(patience=2, min_delta=0.1)
+    assert t.update(1, 10.0) == (True, False)
+    # 9.5 is < 10 but not 10% better -> stale
+    assert t.update(2, 9.5) == (False, False)
+    assert t.update(3, 8.0) == (True, False)  # >10% better, resets patience
+    assert t.update(4, 8.0) == (False, False)
+    assert t.update(5, 8.0) == (False, True)  # 2 stale -> stop
+    assert t.best_step == 3 and t.best == 8.0
+
+
+def test_trainer_validation_early_stop(tmp_path, monkeypatch):
+    """--eval-every + --early-stop-patience: validation metrics are written,
+    the best state lands in checkpoints_best, and training stops before
+    total_steps once the metric stops improving (min_delta forced high so
+    the second validation is guaranteed stale)."""
+    import json
+
+    from self_supervise_sfm_tpu.train import trainer as T
+    from self_supervise_sfm_tpu.train.loop import TrainConfig
+    from self_supervise_sfm_tpu.train.loss import LossConfig
+    from self_supervise_sfm_tpu.models import sailrecon as M
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=1, num_images=3,
+                           image_size=(40, 32))
+    eval_root = str(tmp_path / "eval")
+    make_synthetic_dataset(eval_root, num_scenes=1, num_images=3,
+                           image_size=(40, 32))
+    orig_make = M.make_config
+
+    def tiny_make_config(**kw):
+        kw.update(
+            dict(img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+                 intermediate_layer_idx=(0, 1, 2, 3))
+        )
+        return orig_make(**kw)
+
+    monkeypatch.setattr(M, "make_config", tiny_make_config)
+
+    cfg = T.TrainerConfig(
+        data_root=root,
+        results_dir=str(tmp_path / "results"),
+        total_steps=10,
+        num_images=2,
+        sample_num=64,
+        img_size=28,
+        checkpoint_every=100,  # saves enabled (gates checkpoints_best)
+        artifact_every=0,
+        sanity_check_every=0,
+        log_every=1,
+        compute_dtype="float32",
+        remat=False,
+        rank=2,
+        eval_every=1,
+        eval_data_root=eval_root,
+        eval_num_images=3,
+        eval_sample_num=64,
+        eval_heldout_from=2,  # pairs touching frame 2 only
+        eval_min_delta=10.0,  # nothing after the first eval can improve
+        early_stop_patience=1,
+        train=TrainConfig(max_lr=1e-4, warmup_steps=2, total_steps=10, rank=2,
+                          num_images=2, loss=LossConfig(num_bins=50)),
+    )
+    state = T.run(cfg)
+    # stopped at the second validation, far before total_steps
+    assert int(state["step"]) == 2
+    best = json.load(open(os.path.join(cfg.results_dir, "best.json")))
+    assert best["best_step"] == 1
+    assert np.isfinite(best["best_val_px_residual"])
+    # best checkpoint kept (step-1 state)
+    best_dir = os.path.join(cfg.results_dir, "checkpoints_best")
+    assert os.path.isdir(os.path.join(best_dir, "1"))
+    # val metrics logged
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.results_dir, "tensorboard",
+                                   "metrics.jsonl"))
+        if '"val"' in l
+    ]
+    assert len(rows) == 2
+    assert all(np.isfinite(r["px_residual"]) for r in rows)
