@@ -79,6 +79,11 @@ class TrainerConfig:
     # ViT pos-embed is resized at runtime by the matrix interp, vit.py),
     # while the new phase gets its own warmup/cosine schedule.
     init_params_from: str = ""
+    # comma-separated top-level param subtrees (e.g. "camera_head") to
+    # re-initialize from random when seeding via init_params_from — the
+    # controlled experiment for "is the plateau basin the camera head's?"
+    # (r4 diagnosis: ~99% of gradient norm lands on the camera head)
+    reinit_subtrees: str = ""
     img_size: int = 518
     # jax.profiler trace window: capture steps [profile_start,
     # profile_start + profile_steps) into <results_dir>/profile
@@ -315,6 +320,18 @@ def run(cfg: TrainerConfig):
                   f"{target_grid * target_grid} patch tokens")
             prev_params["aggregator"]["vit"]["pos_embed"] = jax.jit(
                 resample_pos_embed, static_argnums=1)(pe, target_grid)
+        if cfg.reinit_subtrees:
+            names = [n.strip() for n in cfg.reinit_subtrees.split(",") if n.strip()]
+            unknown = [n for n in names if n not in prev_params]
+            assert not unknown, (
+                f"--reinit-subtrees names not in params: {unknown} "
+                f"(have {sorted(prev_params)})")
+            fresh = jax.jit(lambda k: M.init_sailrecon(k, model_cfg))(
+                jax.random.fold_in(key, 0xC0))
+            for n in names:
+                print(f"re-initializing param subtree: {n}")
+                prev_params[n] = fresh[n]
+            del fresh
         state = train_state_from_params(prev_params, key, tcfg)
         del prev, prev_params
         if fsdp or tp:
@@ -629,6 +646,10 @@ def main():
                     help="orbax checkpoint dir: seed params only (fresh "
                          "optimizer + schedule) — the coarse-to-fine "
                          "resolution-schedule hand-off")
+    ap.add_argument("--reinit-subtrees", default="",
+                    help="comma-separated top-level param subtrees (e.g. "
+                         "camera_head) to re-initialize from random when "
+                         "seeding via --init-params-from")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fsdp", action="store_true",
@@ -704,6 +725,7 @@ def main():
         num_model=args.tp,
         pretrained=args.pretrained,
         init_params_from=args.init_params_from,
+        reinit_subtrees=args.reinit_subtrees,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
         profile_start=args.profile_start,

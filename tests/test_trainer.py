@@ -451,3 +451,55 @@ def test_trainer_validation_early_stop(tmp_path, monkeypatch):
     ]
     assert len(rows) == 2
     assert all(np.isfinite(r["px_residual"]) for r in rows)
+
+
+def test_reinit_subtrees_on_handoff(tmp_path, monkeypatch):
+    """--reinit-subtrees camera_head: the hand-off carries every subtree
+    except the named one, which restarts from fresh init (the r5 basin
+    experiment's control knob)."""
+    from self_supervise_sfm_tpu.train import trainer as T
+    from self_supervise_sfm_tpu.train.loop import TrainConfig
+    from self_supervise_sfm_tpu.train.loss import LossConfig
+    from self_supervise_sfm_tpu.models import sailrecon as M
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, num_scenes=1, num_images=3,
+                           image_size=(40, 32))
+    orig_make = M.make_config
+
+    def tiny_make_config(**kw):
+        kw.update(dict(img_size=28, embed_dim=64, depth=4, num_heads=4,
+                       vit_depth=2, intermediate_layer_idx=(0, 1, 2, 3)))
+        return orig_make(**kw)
+
+    monkeypatch.setattr(M, "make_config", tiny_make_config)
+
+    def cfg(results, **kw):
+        return T.TrainerConfig(
+            data_root=root, results_dir=str(tmp_path / results),
+            total_steps=1, num_images=2, sample_num=64, img_size=28,
+            checkpoint_every=1, artifact_every=0, sanity_check_every=0,
+            log_every=1, compute_dtype="float32", remat=False, rank=2,
+            train=TrainConfig(max_lr=0.0, warmup_steps=1, total_steps=1,
+                              rank=2, num_images=2,
+                              loss=LossConfig(num_bins=50)),
+            **kw,
+        )
+
+    stateA = T.run(cfg("phaseA"))
+    ckpt = os.path.join(str(tmp_path / "phaseA"), "checkpoints")
+    stateB = T.run(cfg("phaseB", init_params_from=ckpt,
+                       reinit_subtrees="camera_head"))
+    # lr=0 -> params unchanged by the single step; compare directly
+    vitA = np.asarray(jax.tree_util.tree_leaves(
+        stateA["params"]["aggregator"]["vit"]["blocks"])[0])
+    vitB = np.asarray(jax.tree_util.tree_leaves(
+        stateB["params"]["aggregator"]["vit"]["blocks"])[0])
+    np.testing.assert_array_equal(vitA, vitB)  # carried
+    camA = np.concatenate([np.asarray(x).ravel() for x in
+                           jax.tree_util.tree_leaves(
+                               stateA["params"]["camera_head"])])
+    camB = np.concatenate([np.asarray(x).ravel() for x in
+                           jax.tree_util.tree_leaves(
+                               stateB["params"]["camera_head"])])
+    assert not np.allclose(camA, camB)  # re-initialized
