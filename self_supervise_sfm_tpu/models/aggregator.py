@@ -464,41 +464,15 @@ def aggregator_forward(
 # ---------------------------------------------------------------------------
 
 
-def aggregator_build_cache(
-    p,
-    cfg: AggregatorConfig,
-    anchor_images: jax.Array,
-    rank: int,
-    subsample_key: Optional[jax.Array] = None,
-    subsample_indices: Optional[jax.Array] = None,
-):
-    """Phase 1: run anchors, record per-layer reloc-block K/V of the
-    compressed scene tokens.
+def _build_cache_scan(cfg: AggregatorConfig, stacks, tokens, idx,
+                      B: int, A: int, Ptok: int, R5: int, t_frame, t_global):
+    """Scan ``len(idx)`` build layers: (tokens', (kvs, frame_cam, global_cam)).
 
-    Equivalent to ``SailRecon.tmp_forward`` (``models/sail_recon.py:176-199``)
-    + the cache-fill branch of ``Attention.forward`` — but pure: returns a
-    static-shape cache pytree kept in HBM (sharded over the context axis under
-    pjit) instead of mutating module state onto the host.
-
-    Returns:
-        (cache, cam_token_last_layer). Cache pytree per ``cfg.cache_layout``:
-        "kv2" (default) dict(kv=(depth, B, heads, A*(rank+5), 2*head_dim))
-        with k/v interleaved on the 128-exact lane axis; "packed"
-        dict(k, v) heads-merged (depth, B, A*(rank+5), C); "heads"
-        dict(k, v) raw (depth, B, heads, A*(rank+5), head_dim).
+    Shared by the one-shot build (full depth) and the host-staged build
+    (a contiguous layer segment at a time); ``stacks`` are the per-layer
+    (frame, global, reloc) block params with leading dim == idx.shape[0].
     """
-    B, A, H, W, _ = anchor_images.shape
-    gh, gw = H // cfg.patch_size, W // cfg.patch_size
-    is_query = jnp.asarray([False] * A)
-    tokens, P0 = _embed_frames(p, cfg, anchor_images, is_query)
     C = cfg.embed_dim
-    Ptok = P0 + cfg.patch_start_idx
-    rank = min(rank, P0)
-    R5 = rank + cfg.patch_start_idx
-
-    idx = _make_indices(cfg, subsample_key, subsample_indices, B, A, P0, rank)
-    t_frame = _rope_tables_frame(cfg, gh, gw)
-    t_global = _tile_tables(t_frame, A)
     bcfg = cfg.block_cfg
     bcfg_g = cfg.global_block_cfg
 
@@ -545,8 +519,48 @@ def aggregator_build_cache(
         new_tokens, frame_out, global_out, kv = layer(carry, fp, gp, rp, idx_l)
         return new_tokens, (kv, frame_out[:, :, 0], global_out[:, :, 0])
 
+    return jax.lax.scan(body, tokens, (stacks, idx))
+
+
+def aggregator_build_cache(
+    p,
+    cfg: AggregatorConfig,
+    anchor_images: jax.Array,
+    rank: int,
+    subsample_key: Optional[jax.Array] = None,
+    subsample_indices: Optional[jax.Array] = None,
+):
+    """Phase 1: run anchors, record per-layer reloc-block K/V of the
+    compressed scene tokens.
+
+    Equivalent to ``SailRecon.tmp_forward`` (``models/sail_recon.py:176-199``)
+    + the cache-fill branch of ``Attention.forward`` — but pure: returns a
+    static-shape cache pytree kept in HBM (sharded over the context axis under
+    pjit) instead of mutating module state onto the host.
+
+    Returns:
+        (cache, cam_token_last_layer). Cache pytree per ``cfg.cache_layout``:
+        "kv2" (default) dict(kv=(depth, B, heads, A*(rank+5), 2*head_dim))
+        with k/v interleaved on the 128-exact lane axis; "packed"
+        dict(k, v) heads-merged (depth, B, A*(rank+5), C); "heads"
+        dict(k, v) raw (depth, B, heads, A*(rank+5), head_dim).
+    """
+    B, A, H, W, _ = anchor_images.shape
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    is_query = jnp.asarray([False] * A)
+    tokens, P0 = _embed_frames(p, cfg, anchor_images, is_query)
+    Ptok = P0 + cfg.patch_start_idx
+    rank = min(rank, P0)
+    R5 = rank + cfg.patch_start_idx
+
+    idx = _make_indices(cfg, subsample_key, subsample_indices, B, A, P0, rank)
+    t_frame = _rope_tables_frame(cfg, gh, gw)
+    t_global = _tile_tables(t_frame, A)
+
     stacks = (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"])
-    tokens, (kvs, frame_cam, global_cam) = jax.lax.scan(body, tokens, (stacks, idx))
+    tokens, (kvs, frame_cam, global_cam) = _build_cache_scan(
+        cfg, stacks, tokens, idx, B, A, Ptok, R5, t_frame, t_global
+    )
 
     if cfg.cache_layout == "kv2":
         cache = {"kv": kvs[0]}  # (depth, B, heads, A*R5, 2*hd)
@@ -584,6 +598,13 @@ def aggregator_reloc(
     from ..parallel.sp_block import frame_block_sharded
 
     def layer(tokens, fp, rp, kv_l, layer_idx=None):
+        if cfg.cache_layout == "kv2":
+            # shared with the host-staged path — the kernel consumes the
+            # depth-stacked kv2 cache in place, layer_idx in its BlockSpec
+            return _reloc_layer_kv2(
+                cfg, fp, rp, tokens, cache["kv"], layer_idx, t_frame,
+                B, Q, Ptok,
+            )
         t = tokens.reshape(B * Q, Ptok, C)
         t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = frame_block_sharded(fp, t, bcfg, t_frame)
@@ -604,19 +625,7 @@ def aggregator_reloc(
         # qkv_parts / attn_out_mlp give this site the same fused kernels as
         # the joint-forward reloc block
         q, k, v = qkv_parts(rp, t, bcfg, t_frame)
-        if cfg.cache_layout == "kv2":
-            # direct-HBM consumption: the FULL depth-stacked kv2 cache goes
-            # into the kernel; layer_idx is applied in its BlockSpec index
-            # map (no HLO slice, no transient, no loop copy)
-            from ..ops.flash_attention import packed_ctx_attention
-
-            o = packed_ctx_attention(
-                q, k, v, cache["kv"], layer_idx, impl=bcfg.attn.impl
-            )
-        else:
-            o = attention_heads_out(
-                rp["attn"], q, k, v, bcfg.attn, extra_kv=kv_l
-            )
+        o = attention_heads_out(rp["attn"], q, k, v, bcfg.attn, extra_kv=kv_l)
         out = attn_out_mlp(rp, o, t, bcfg)
         reloc_out = out.reshape(B, Q, Ptok, C)
         return reloc_out, frame_out, reloc_out
@@ -692,5 +701,191 @@ def aggregator_reloc(
         ),
     )
     taps: Dict[int, jax.Array] = {li: taps_buf[i] for i, li in enumerate(tap_list)}
+    taps[-1] = taps[tap_list[-1]]
+    return taps, cfg.patch_start_idx
+
+
+# ---------------------------------------------------------------------------
+# host-staged build/reloc: scene size bounded by HOST RAM, not HBM
+# ---------------------------------------------------------------------------
+
+
+def _reloc_layer_kv2(cfg: AggregatorConfig, fp, rp, tokens, ckv, layer_idx,
+                     t_frame, B: int, Q: int, Ptok: int):
+    """One reloc layer against a kv2 cache stack (device- or segment-depth).
+
+    Shared by the resident-cache unrolled path (:func:`aggregator_reloc`)
+    and the host-staged path; ``layer_idx`` indexes ``ckv``'s leading dim
+    inside the kernel's BlockSpec (no HLO slice, no transient).
+    """
+    C = cfg.embed_dim
+    bcfg = cfg.block_cfg
+    from ..layers.block import attn_out_mlp, qkv_parts
+    from ..ops.flash_attention import packed_ctx_attention
+    from ..parallel.sp_block import frame_block_sharded
+
+    t = tokens.reshape(B * Q, Ptok, C)
+    t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
+    t = frame_block_sharded(fp, t, bcfg, t_frame)
+    frame_out = t.reshape(B, Q, Ptok, C)
+    q, k, v = qkv_parts(rp, t, bcfg, t_frame)
+    o = packed_ctx_attention(q, k, v, ckv, layer_idx, impl=bcfg.attn.impl)
+    out = attn_out_mlp(rp, o, t, bcfg)
+    reloc_out = out.reshape(B, Q, Ptok, C)
+    return reloc_out, frame_out, reloc_out
+
+
+def aggregator_build_cache_staged(
+    p,
+    cfg: AggregatorConfig,
+    anchor_images,
+    rank: int,
+    subsample_key: Optional[jax.Array] = None,
+    subsample_indices: Optional[jax.Array] = None,
+    num_segments: int = 4,
+):
+    """Host-staged phase 1: the cache streams to HOST RAM as it is built.
+
+    The reference's scene size is bounded by host RAM because its cache is
+    CPU-offloaded (``sailrecon/layers/attention.py:92-97``); the one-shot
+    :func:`aggregator_build_cache` instead keeps the whole cache in HBM,
+    which makes the BUILD the binding capacity bound (SCENE_CAPACITY.json:
+    0.0712 GB/anchor ≈ 0.028 cache + 0.043 activations). This variant is the
+    TPU-idiomatic answer: depth splits into ``num_segments`` contiguous
+    layer ranges, each compiled ONCE (segment start is a traced scalar, so
+    all segments share one executable); after each segment the kv2 slice is
+    fetched to host and its device buffer freed. Device peak holds only
+    activations + one segment's cache (0.028/num_segments GB/anchor).
+
+    Returns ``({"kv": np.ndarray (depth, B, H, A*R5, 2hd)}, cam_token np)``
+    — a HOST cache, consumed by :func:`aggregator_reloc_staged` (or
+    uploadable wholesale to :func:`aggregator_reloc` when it fits).
+    """
+    import numpy as np
+    from functools import partial
+
+    assert cfg.cache_layout == "kv2", "staged build requires the kv2 layout"
+    assert cfg.depth % num_segments == 0, (
+        f"depth {cfg.depth} must divide into {num_segments} segments")
+    seg_len = cfg.depth // num_segments
+    B, A, H, W, _ = anchor_images.shape
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    P0 = gh * gw
+    Ptok = P0 + cfg.patch_start_idx
+    R5 = min(rank, P0) + cfg.patch_start_idx
+
+    @jax.jit
+    def embed(p, images, key):
+        is_query = jnp.asarray([False] * A)
+        tokens, P0_ = _embed_frames(p, cfg, images, is_query)
+        idx = _make_indices(cfg, key, subsample_indices, B, A, P0_, rank)
+        return tokens, idx
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def run_segment(p, tokens, idx, start):
+        stacks = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, start, seg_len, 0),
+            (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"]),
+        )
+        idx_seg = jax.lax.dynamic_slice_in_dim(idx, start, seg_len, 0)
+        t_frame = _rope_tables_frame(cfg, gh, gw)
+        t_global = _tile_tables(t_frame, A)
+        tokens, (kvs, frame_cam, global_cam) = _build_cache_scan(
+            cfg, stacks, tokens, idx_seg, B, A, Ptok, R5, t_frame, t_global
+        )
+        return tokens, kvs[0], frame_cam[-1], global_cam[-1]
+
+    tokens, idx = embed(p, anchor_images, subsample_key)
+    host_kv = []
+    fc = gc = None
+    for s in range(num_segments):
+        tokens, kv_seg, fc, gc = run_segment(
+            p, tokens, idx, jnp.asarray(s * seg_len, jnp.int32)
+        )
+        host_kv.append(np.asarray(kv_seg))  # device_get; buffer freed below
+        del kv_seg
+    cam_token = np.concatenate(
+        [np.asarray(fc), np.asarray(gc)], axis=-1
+    ).astype(np.float32)
+    return {"kv": np.concatenate(host_kv, axis=0)}, cam_token
+
+
+def aggregator_reloc_staged(
+    p,
+    cfg: AggregatorConfig,
+    host_cache,
+    images,
+    num_segments: int = 4,
+) -> Tuple[Dict[int, jax.Array], int]:
+    """Phase 2 against a HOST-RAM cache: upload one layer segment at a time.
+
+    Device peak holds query activations + one segment's kv2 slice — the
+    serving-side mirror of :func:`aggregator_build_cache_staged`. Each
+    segment is one dispatch whose cache argument is a host numpy slice (the
+    transfer happens at dispatch; on a directly-attached host this is PCIe
+    bandwidth, through the remote-TPU tunnel it is the tunnel's rate).
+    """
+    from functools import partial
+
+    assert cfg.cache_layout == "kv2", "staged reloc requires the kv2 layout"
+    assert cfg.depth % num_segments == 0
+    seg_len = cfg.depth // num_segments
+    B, Q, H, W, _ = images.shape
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    P0 = gh * gw
+    Ptok = P0 + cfg.patch_start_idx
+    C = cfg.embed_dim
+
+    tap_list = tuple(cfg.intermediate_layer_idx)
+    assert tap_list == tuple(sorted(tap_list))
+    assert tap_list[-1] == cfg.depth - 1
+    n_tap = len(tap_list)
+    tap_idx_arr = jnp.asarray(tap_list, jnp.int32)
+
+    @jax.jit
+    def embed(p, images):
+        is_query = jnp.asarray([True] * Q)
+        tokens, _ = _embed_frames(p, cfg, images, is_query)
+        return tokens
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def run_segment(p, tokens, taps_buf, kv_seg, start):
+        t_frame = _rope_tables_frame(cfg, gh, gw)
+        cur = tokens
+        for li in range(seg_len):
+            l = start + li
+            fp = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
+                p["frame_blocks"],
+            )
+            rp = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
+                p["reloc_blocks"],
+            )
+            cur, frame_out, reloc_out = _reloc_layer_kv2(
+                cfg, fp, rp, cur, kv_seg, li, t_frame, B, Q, Ptok
+            )
+            is_tap = jnp.any(tap_idx_arr == l)
+            slot = jnp.sum((tap_idx_arr < l).astype(jnp.int32))
+
+            def write(tb, fo=frame_out, ro=reloc_out, s_=slot):
+                feat = jnp.concatenate([fo, ro], axis=-1).astype(jnp.float32)
+                return jax.lax.dynamic_update_index_in_dim(tb, feat, s_, 0)
+
+            taps_buf = jax.lax.cond(is_tap, write, lambda tb: tb, taps_buf)
+        return cur, taps_buf
+
+    tokens = embed(p, jnp.asarray(images))
+    taps_buf = jnp.zeros((n_tap, B, Q, Ptok, 2 * C), jnp.float32)
+    kv = host_cache["kv"]
+    for s in range(num_segments):
+        lo = s * seg_len
+        tokens, taps_buf = run_segment(
+            p, tokens, taps_buf, kv[lo : lo + seg_len],
+            jnp.asarray(lo, jnp.int32),
+        )
+    taps: Dict[int, jax.Array] = {
+        li: taps_buf[i] for i, li in enumerate(tap_list)
+    }
     taps[-1] = taps[tap_list[-1]]
     return taps, cfg.patch_start_idx

@@ -18,6 +18,7 @@ disabled-AMP head region (``sail_recon.py:119``). All outputs stay on device
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
@@ -30,8 +31,10 @@ from ..ops import geometry as G
 from .aggregator import (
     AggregatorConfig,
     aggregator_build_cache,
+    aggregator_build_cache_staged,
     aggregator_forward,
     aggregator_reloc,
+    aggregator_reloc_staged,
     init_aggregator,
 )
 from ..layers.vit import ViTConfig
@@ -324,6 +327,10 @@ def reloc(
             "pose_enc_list": cam_maps,
         }
     preds = _decode_heads(p, cfg, taps, cam_token_last_layer, (H, W), psi)
+    return _with_conf_fractions(preds)
+
+
+def _with_conf_fractions(preds: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     if "xyz_cnf" in preds:
         # per-view fraction of point-confidence above thresholds 1.0..5.25
         # (the reference computes exactly this in reloc, sail_recon.py:254-262
@@ -334,6 +341,70 @@ def reloc(
             (cnf[..., None] > thresholds).astype(jnp.float32), axis=(2, 3)
         )  # (B, Q, num_thresholds)
     return preds
+
+
+def build_scene_cache_staged(
+    p,
+    cfg: SailReconConfig,
+    anchor_images,
+    rank: int = 300,
+    subsample_key: Optional[jax.Array] = None,
+    subsample_indices: Optional[jax.Array] = None,
+    num_segments: int = 4,
+):
+    """Host-staged phase 1: scene size bounded by HOST RAM, not HBM.
+
+    The cache streams to the host segment-by-segment as it is built — the
+    TPU-idiomatic equivalent of the reference's CPU-offloaded cache
+    (``sailrecon/layers/attention.py:92-97``). Returns a host-numpy cache +
+    cam token, consumed by :func:`reloc_staged` (or uploaded wholesale to
+    :func:`reloc` when it fits in HBM). See
+    ``aggregator.aggregator_build_cache_staged`` for the memory model.
+    """
+    return aggregator_build_cache_staged(
+        p["aggregator"], cfg.aggregator, anchor_images, rank, subsample_key,
+        subsample_indices, num_segments,
+    )
+
+
+def reloc_staged(
+    p,
+    cfg: SailReconConfig,
+    host_cache,
+    cam_token_last_layer,
+    images,
+    num_segments: int = 4,
+    fast_reloc: bool = False,
+) -> Dict[str, jax.Array]:
+    """:func:`reloc` against a HOST-RAM cache, uploading one layer segment
+    per dispatch (device peak = query activations + one segment's kv2)."""
+    H, W = images.shape[2], images.shape[3]
+    taps, psi = aggregator_reloc_staged(
+        p["aggregator"], cfg.aggregator, host_cache, images, num_segments
+    )
+    cam_tok = jnp.asarray(cam_token_last_layer)
+    if fast_reloc:
+        cam_maps = camera_head(
+            p["camera_head"], taps[-1], cam_tok, cfg.camera
+        )
+        extrinsic, intrinsic = G.pose_encoding_to_extri_intri(cam_maps[-1], (H, W))
+        return {
+            "extrinsic": extrinsic,
+            "intrinsic": intrinsic,
+            "pose_enc_list": cam_maps,
+        }
+    return _staged_decode_jit(cfg, (H, W), psi)(p, taps, cam_tok)
+
+
+@_functools.lru_cache(maxsize=8)
+def _staged_decode_jit(cfg: SailReconConfig, hw: Tuple[int, int], psi: int):
+    """One cached jit of the head decode per (config, image size) — a fresh
+    lambda per reloc_staged call would recompile every time."""
+    return jax.jit(
+        lambda p, taps, ct: _with_conf_fractions(
+            _decode_heads(p, cfg, taps, ct, hw, psi)
+        )
+    )
 
 
 def reloc_chunked(

@@ -99,3 +99,59 @@ class TestRelocSplit:
         np.testing.assert_allclose(
             np.asarray(out_split_full), np.asarray(dense), atol=2e-5
         )
+
+
+class TestStagedCache:
+    """Host-staged build/reloc == the resident-cache programs.
+
+    The staged path (VERDICT r4 #1) streams the kv2 cache to host RAM
+    segment-by-segment during build and re-uploads it per segment during
+    reloc; same per-layer math, so results must match the one-shot
+    build + resident reloc to float tolerance.
+    """
+
+    def test_staged_build_matches_resident(self, rng):
+        import numpy as np
+
+        from self_supervise_sfm_tpu.models import sailrecon as M
+
+        cfg = M.make_config(
+            img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+            intermediate_layer_idx=(0, 1, 2, 3),
+        )
+        p = M.init_sailrecon(jax.random.PRNGKey(0), cfg)
+        anchors = jnp.asarray(
+            rng.uniform(size=(1, 6, 28, 28, 3)).astype(np.float32))
+        queries = jnp.asarray(
+            rng.uniform(size=(1, 3, 28, 28, 3)).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+
+        cache_ref, cam_ref = jax.jit(
+            lambda p, x: M.build_scene_cache(p, cfg, x, rank=2,
+                                             subsample_key=key)
+        )(p, anchors)
+        preds_ref = jax.jit(
+            lambda p, c, t, x: M.reloc(p, cfg, c, t, x)
+        )(p, cache_ref, cam_ref, queries)
+
+        cache_st, cam_st = M.build_scene_cache_staged(
+            p, cfg, anchors, rank=2, subsample_key=key, num_segments=2)
+        assert isinstance(cache_st["kv"], np.ndarray)  # host-resident
+        np.testing.assert_allclose(
+            cache_st["kv"], np.asarray(cache_ref["kv"]), atol=1e-5)
+        np.testing.assert_allclose(cam_st, np.asarray(cam_ref), atol=1e-5)
+
+        preds_st = M.reloc_staged(p, cfg, cache_st, cam_st, queries,
+                                  num_segments=2)
+        for k in ("extrinsic", "intrinsic", "depth_map", "point_map",
+                  "xyz_conf_fractions"):
+            np.testing.assert_allclose(
+                np.asarray(preds_st[k]), np.asarray(preds_ref[k]),
+                atol=5e-5, err_msg=k)
+
+        # fast_reloc decode agrees too
+        fast_st = M.reloc_staged(p, cfg, cache_st, cam_st, queries,
+                                 num_segments=4, fast_reloc=True)
+        np.testing.assert_allclose(
+            np.asarray(fast_st["extrinsic"]),
+            np.asarray(preds_ref["extrinsic"]), atol=5e-5)
