@@ -32,6 +32,7 @@ reference's stateful first-pass-returns-zeros CPU-offload trick
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache as _lru_cache
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -735,6 +736,65 @@ def _reloc_layer_kv2(cfg: AggregatorConfig, fp, rp, tokens, ckv, layer_idx,
     return reloc_out, frame_out, reloc_out
 
 
+@_lru_cache(maxsize=8)
+def _staged_build_programs_cached(cfg, B, A, H, W, rank, num_segments):
+    return _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
+                                       None)
+
+
+def staged_build_programs(cfg: AggregatorConfig, B: int, A: int, H: int,
+                          W: int, rank: int, num_segments: int,
+                          subsample_indices=None):
+    """(embed_jit, run_segment_jit, seg_len) — the two programs of the
+    host-staged build, exposed for AOT memory analysis
+    (``tools/scene_staged_capacity.py``). Cached per geometry so repeated
+    staged builds reuse the compiled executables (explicit
+    ``subsample_indices`` — the golden-test path — bypass the cache: arrays
+    are not hashable)."""
+    if subsample_indices is None:
+        return _staged_build_programs_cached(cfg, B, A, H, W, rank,
+                                             num_segments)
+    return _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
+                                       subsample_indices)
+
+
+def _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
+                                subsample_indices):
+    from functools import partial
+
+    assert cfg.cache_layout == "kv2", "staged build requires the kv2 layout"
+    assert cfg.depth % num_segments == 0, (
+        f"depth {cfg.depth} must divide into {num_segments} segments")
+    seg_len = cfg.depth // num_segments
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    P0 = gh * gw
+    Ptok = P0 + cfg.patch_start_idx
+    R5 = min(rank, P0) + cfg.patch_start_idx
+
+    @jax.jit
+    def embed(p, images, key):
+        is_query = jnp.asarray([False] * A)
+        tokens, P0_ = _embed_frames(p, cfg, images, is_query)
+        idx = _make_indices(cfg, key, subsample_indices, B, A, P0_, rank)
+        return tokens, idx
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def run_segment(p, tokens, idx, start):
+        stacks = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, start, seg_len, 0),
+            (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"]),
+        )
+        idx_seg = jax.lax.dynamic_slice_in_dim(idx, start, seg_len, 0)
+        t_frame = _rope_tables_frame(cfg, gh, gw)
+        t_global = _tile_tables(t_frame, A)
+        tokens, (kvs, frame_cam, global_cam) = _build_cache_scan(
+            cfg, stacks, tokens, idx_seg, B, A, Ptok, R5, t_frame, t_global
+        )
+        return tokens, kvs[0], frame_cam[-1], global_cam[-1]
+
+    return embed, run_segment, seg_len
+
+
 def aggregator_build_cache_staged(
     p,
     cfg: AggregatorConfig,
@@ -762,39 +822,13 @@ def aggregator_build_cache_staged(
     uploadable wholesale to :func:`aggregator_reloc` when it fits).
     """
     import numpy as np
-    from functools import partial
 
-    assert cfg.cache_layout == "kv2", "staged build requires the kv2 layout"
-    assert cfg.depth % num_segments == 0, (
-        f"depth {cfg.depth} must divide into {num_segments} segments")
-    seg_len = cfg.depth // num_segments
     B, A, H, W, _ = anchor_images.shape
-    gh, gw = H // cfg.patch_size, W // cfg.patch_size
-    P0 = gh * gw
-    Ptok = P0 + cfg.patch_start_idx
-    R5 = min(rank, P0) + cfg.patch_start_idx
-
-    @jax.jit
-    def embed(p, images, key):
-        is_query = jnp.asarray([False] * A)
-        tokens, P0_ = _embed_frames(p, cfg, images, is_query)
-        idx = _make_indices(cfg, key, subsample_indices, B, A, P0_, rank)
-        return tokens, idx
-
-    @partial(jax.jit, donate_argnums=(1,))
-    def run_segment(p, tokens, idx, start):
-        stacks = jax.tree.map(
-            lambda x: jax.lax.dynamic_slice_in_dim(x, start, seg_len, 0),
-            (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"]),
-        )
-        idx_seg = jax.lax.dynamic_slice_in_dim(idx, start, seg_len, 0)
-        t_frame = _rope_tables_frame(cfg, gh, gw)
-        t_global = _tile_tables(t_frame, A)
-        tokens, (kvs, frame_cam, global_cam) = _build_cache_scan(
-            cfg, stacks, tokens, idx_seg, B, A, Ptok, R5, t_frame, t_global
-        )
-        return tokens, kvs[0], frame_cam[-1], global_cam[-1]
-
+    seg_len = cfg.depth // num_segments
+    embed, run_segment, _ = staged_build_programs(
+        cfg, B, A, H, W, rank, num_segments,
+        subsample_indices=subsample_indices,
+    )
     tokens, idx = embed(p, anchor_images, subsample_key)
     host_kv = []
     fc = gc = None
@@ -810,37 +844,23 @@ def aggregator_build_cache_staged(
     return {"kv": np.concatenate(host_kv, axis=0)}, cam_token
 
 
-def aggregator_reloc_staged(
-    p,
-    cfg: AggregatorConfig,
-    host_cache,
-    images,
-    num_segments: int = 4,
-) -> Tuple[Dict[int, jax.Array], int]:
-    """Phase 2 against a HOST-RAM cache: upload one layer segment at a time.
-
-    Device peak holds query activations + one segment's kv2 slice — the
-    serving-side mirror of :func:`aggregator_build_cache_staged`. Each
-    segment is one dispatch whose cache argument is a host numpy slice (the
-    transfer happens at dispatch; on a directly-attached host this is PCIe
-    bandwidth, through the remote-TPU tunnel it is the tunnel's rate).
-    """
+@_lru_cache(maxsize=8)
+def staged_reloc_programs(cfg: AggregatorConfig, B: int, Q: int, H: int,
+                          W: int, num_segments: int):
+    """(embed_jit, run_segment_jit, seg_len) for the host-staged reloc —
+    cached per geometry and exposed for AOT memory analysis."""
     from functools import partial
 
     assert cfg.cache_layout == "kv2", "staged reloc requires the kv2 layout"
     assert cfg.depth % num_segments == 0
     seg_len = cfg.depth // num_segments
-    B, Q, H, W, _ = images.shape
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
     P0 = gh * gw
     Ptok = P0 + cfg.patch_start_idx
-    C = cfg.embed_dim
-
     tap_list = tuple(cfg.intermediate_layer_idx)
     assert tap_list == tuple(sorted(tap_list))
     assert tap_list[-1] == cfg.depth - 1
-    n_tap = len(tap_list)
-    tap_idx_arr = jnp.asarray(tap_list, jnp.int32)
+    tap_idx_arr_vals = tap_list
 
     @jax.jit
     def embed(p, images):
@@ -850,6 +870,7 @@ def aggregator_reloc_staged(
 
     @partial(jax.jit, donate_argnums=(1, 2))
     def run_segment(p, tokens, taps_buf, kv_seg, start):
+        tap_idx_arr = jnp.asarray(tap_idx_arr_vals, jnp.int32)
         t_frame = _rope_tables_frame(cfg, gh, gw)
         cur = tokens
         for li in range(seg_len):
@@ -875,6 +896,33 @@ def aggregator_reloc_staged(
             taps_buf = jax.lax.cond(is_tap, write, lambda tb: tb, taps_buf)
         return cur, taps_buf
 
+    return embed, run_segment, seg_len
+
+
+def aggregator_reloc_staged(
+    p,
+    cfg: AggregatorConfig,
+    host_cache,
+    images,
+    num_segments: int = 4,
+) -> Tuple[Dict[int, jax.Array], int]:
+    """Phase 2 against a HOST-RAM cache: upload one layer segment at a time.
+
+    Device peak holds query activations + one segment's kv2 slice — the
+    serving-side mirror of :func:`aggregator_build_cache_staged`. Each
+    segment is one dispatch whose cache argument is a host numpy slice (the
+    transfer happens at dispatch; on a directly-attached host this is PCIe
+    bandwidth, through the remote-TPU tunnel it is the tunnel's rate).
+    """
+    seg_len = cfg.depth // num_segments
+    B, Q, H, W, _ = images.shape
+    P0 = (H // cfg.patch_size) * (W // cfg.patch_size)
+    Ptok = P0 + cfg.patch_start_idx
+    C = cfg.embed_dim
+    tap_list = tuple(cfg.intermediate_layer_idx)
+    n_tap = len(tap_list)
+    embed, run_segment, _ = staged_reloc_programs(cfg, B, Q, H, W,
+                                                  num_segments)
     tokens = embed(p, jnp.asarray(images))
     taps_buf = jnp.zeros((n_tap, B, Q, Ptok, 2 * C), jnp.float32)
     kv = host_cache["kv"]
