@@ -61,6 +61,15 @@ SCALES = {
         taps=(1, 3, 4, 5), rank=4, pretrain_steps=2500, finetune_steps=1200,
         pretrain_lr=7e-4, finetune_lr=1.5e-4, max_val=25.0,
     ),
+    # VERDICT r4 #3: a third, larger scale (~120M params / 112px) — the
+    # bridge between the converging 6M/25M configs and the plateauing 888M
+    # 518px flagship class. Grad clipping on (from-random at this scale hits
+    # the same CDF saturation cliff the 154px run died on, CLAUDE.md r4).
+    "medium": dict(
+        img=112, raw=(160, 120), embed=512, depth=8, vit_depth=8, heads=8,
+        taps=(1, 3, 5, 7), rank=16, pretrain_steps=5000, finetune_steps=1200,
+        pretrain_lr=4e-4, finetune_lr=1e-4, max_val=25.0, clip=1.0,
+    ),
 }
 
 N_TRAIN_SCENES = 6
@@ -190,6 +199,7 @@ def run_scale(name: str, sc: dict, workdir: str) -> dict:
             max_lr=lr, warmup_steps=min(100, steps // 10),
             total_steps=steps, rank=sc["rank"], num_images=2,
             loss=LossConfig(max_val=sc["max_val"]),
+            grad_clip_norm=sc.get("clip", 0.0),
         )
 
     key = jax.random.PRNGKey(17)
@@ -220,7 +230,8 @@ def run_scale(name: str, sc: dict, workdir: str) -> dict:
     ekey = jax.random.PRNGKey(EVAL_KEY)
 
     # the scene residual the objective optimizes, measured on the eval scene
-    from self_supervise_sfm_tpu.train.loss import scene_loss
+    from self_supervise_sfm_tpu.train.loss import (
+        _masked_mean, scene_loss, scene_residuals)
 
     eval_batch_keys = {k: eval_scene[k] for k in _BATCH_KEYS if k != "images"}
     eval_loss = jax.jit(
@@ -228,10 +239,24 @@ def run_scale(name: str, sc: dict, workdir: str) -> dict:
                                 LossConfig(max_val=sc["max_val"]))
     )
 
+    # self-supervised held-out residual: pairs touching a held-out frame
+    # only — the early-stopping signal (no GT anywhere, same contract as
+    # the trainer's --eval-heldout-from)
+    def _heldout_res(e, i):
+        r = scene_residuals(e, i, eval_batch_keys,
+                            LossConfig(max_val=sc["max_val"]))
+        touch = (r["src_idx"] >= FT_FRAMES) | (r["dst_idx"] >= FT_FRAMES)
+        w = r["weights"] * touch[:, None].astype(r["weights"].dtype)
+        return _masked_mean(r["residuals"], w)
+
+    heldout_res = jax.jit(_heldout_res)
+
     def evaluate(params, tag):
         preds = jax.device_get(fwd(params, eval_images, ekey))
         pred_e = preds["extrinsic"][0]  # (S, 3, 4)
         _, lm = eval_loss(preds["extrinsic"][0], preds["intrinsic"][0])
+        ho_px = float(heldout_res(preds["extrinsic"][0],
+                                  preds["intrinsic"][0]))
         full = absolute_trajectory_error(pred_e, gt_e)
         held = heldout_metrics(pred_e, gt_e, train_ids, held_ids)
         rot, tra = heldout_relative_errors(pred_e, gt_e, held_ids)
@@ -243,6 +268,7 @@ def run_scale(name: str, sc: dict, workdir: str) -> dict:
             "heldout_rel_tra_mean_deg": float(tra.mean()) if len(tra) else None,
             "heldout_rot_auc": pose_auc(rot),
             "mean_px_residual": float(lm["mean_px_residual"]),
+            "heldout_px_residual": ho_px,
         }
         log(f"  [{tag}] heldout ATE {m['heldout_ate_rmse']:.4f} "
             f"full ATE {m['full_scene_ate_rmse']:.4f} "
@@ -282,8 +308,16 @@ def run_scale(name: str, sc: dict, workdir: str) -> dict:
     state = train_state_from_params(
         state["params"], jax.random.PRNGKey(23), ft_cfg)
     ft_step_fn = make_train_step(mcfg, ft_cfg)
+    # early stopping on the SELF-SUPERVISED held-out residual (the r4 study
+    # measured TTA overfitting past an optimum; the trainer now finds it —
+    # train/validate.BestTracker, same logic as --early-stop-patience)
+    from self_supervise_sfm_tpu.train.validate import BestTracker
+
+    tracker = BestTracker(patience=3, min_delta=0.0)
+    best_params = state["params"]
+    best_entry = None
     curve = []
-    seg = max(1, sc["finetune_steps"] // 4)
+    seg = max(1, sc["finetune_steps"] // 8)
     done = 0
     while done < sc["finetune_steps"]:
         n = min(seg, sc["finetune_steps"] - done)
@@ -291,9 +325,28 @@ def run_scale(name: str, sc: dict, workdir: str) -> dict:
                       tag=f"{name}-ft@{done}", step_fn=ft_step_fn)
         done += n
         m = evaluate(state["params"], f"{name}-ft-{done}")
-        curve.append({"finetune_step": done, **m})
-    res["after"] = curve[-1]
+        entry = {"finetune_step": done, **m}
+        curve.append(entry)
+        improved, should_stop = tracker.update(done, m["heldout_px_residual"])
+        if improved:
+            best_params = state["params"]
+            best_entry = entry
+        if should_stop:
+            log(f"  [{name}] early stop at ft step {done} "
+                f"(best {tracker.best:.3f}px @ {tracker.best_step})")
+            break
+    res["after"] = dict(best_entry)
+    res["after_endpoint"] = curve[-1]
+    res["early_stop"] = {
+        "metric": "heldout_px_residual (self-supervised)",
+        "patience_evals": 3,
+        "best_step": tracker.best_step,
+        "stopped_at_step": curve[-1]["finetune_step"],
+        "ran_full_schedule": curve[-1]["finetune_step"]
+        >= sc["finetune_steps"],
+    }
     res["finetune_curve"] = curve
+    del best_params
 
     b, a = res["before"], res["after"]
     res["improvement"] = {
@@ -319,8 +372,11 @@ def run_scale(name: str, sc: dict, workdir: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", default="tiny,small")
-    ap.add_argument("--out", default=os.path.join(REPO, "TRAIN_EVAL_r04.json"))
+    ap.add_argument("--scales", default="tiny,small,medium")
+    ap.add_argument("--out", default=os.path.join(REPO, "TRAIN_EVAL_r05.json"))
+    ap.add_argument("--merge", action="store_true",
+                    help="merge these scales into an existing --out file "
+                         "(per-scale runs can then use different backends)")
     ap.add_argument("--platform", default="", help="e.g. cpu to force CPU")
     args = ap.parse_args()
     if args.platform:
@@ -329,11 +385,15 @@ def main():
 
     out = {
         "protocol": (
-            "pretrain from random init on 4 synthetic scenes (self-supervised "
+            "pretrain from random init on 6 synthetic scenes (self-supervised "
             "CDF objective only), then per-scene test-time adaptation on an "
             "unseen scene using only its first 6 frames' correspondences; "
-            "held-out frames 6-7 never contribute loss. Metrics: Sim(3) ATE "
-            "(full scene, and held-out frames in the fine-tune frames' "
+            "held-out frames 6-7 never contribute loss. Fine-tuning "
+            "early-stops on the SELF-SUPERVISED held-out reprojection "
+            "residual (patience 3 evals — the r4 overfitting finding, "
+            "productized in train/validate.py); 'after' is the early-stopped "
+            "optimum, 'after_endpoint' the raw schedule end. Metrics: Sim(3) "
+            "ATE (full scene, and held-out frames in the fine-tune frames' "
             "gauge), gauge-free relative-pose errors restricted to pairs "
             "touching a held-out frame, and the mean reprojection residual. "
             "Mirrors /root/reference/train/train_imc.py:141-268 (no GT poses "
@@ -341,12 +401,18 @@ def main():
         ),
         "geometry": "corner_rand",
         "scales": {},
+        "devices": {},
     }
+    if args.merge and os.path.exists(args.out):
+        prev = json.load(open(args.out))
+        out["scales"] = prev.get("scales", {})
+        out["devices"] = prev.get("devices", {})
+    import jax
+    dev = str(jax.devices()[0])
     with tempfile.TemporaryDirectory() as workdir:
         for name in args.scales.split(","):
             out["scales"][name] = run_scale(name, SCALES[name], workdir)
-    import jax
-    out["device"] = str(jax.devices()[0])
+            out["devices"][name] = dev
     out["wall_seconds"] = round(time.time() - t0, 1)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
