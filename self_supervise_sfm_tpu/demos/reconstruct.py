@@ -75,14 +75,26 @@ def load_params(cfg, pretrained: str, key, orbax_checkpoint: str = ""):
 
 
 def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key,
-                      chunk: int = 0):
+                      chunk: int = 0, staged_segments: int = 0):
     """images_np: (S, H, W, 3). Returns host predictions dict for S views.
 
     ``chunk`` > 0 relocalises in fixed-size query chunks (``reloc_chunked``,
     the reference's ``memory_save``) — bounds peak memory for large scenes.
+    ``staged_segments`` > 0 switches to the host-staged cache (build streams
+    the kv2 cache to host RAM one layer-segment at a time; reloc re-uploads
+    per segment) — scene size bounded by host RAM, the reference's
+    CPU-offload equivalent (``sailrecon/layers/attention.py:92-97``).
     """
     images = jnp.asarray(images_np)[None]  # (1, S, H, W, 3)
     S = images.shape[1]
+    if mode != "forward" and staged_segments > 0:
+        cache, cam_tok = M.build_scene_cache_staged(
+            params, cfg, images, rank=rank, subsample_key=key,
+            num_segments=staged_segments,
+        )
+        preds = M.reloc_staged(params, cfg, cache, cam_tok, images,
+                               num_segments=staged_segments)
+        return jax.device_get(preds)
     if mode == "forward":
         # single pass: duplicate frames into anchors + queries
         # (prepare-model-input semantics, demo_imc_forward.py:76-101)
@@ -174,6 +186,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="reloc-mode query chunk size (0 = one batched "
                          "call); the reference's memory_save equivalent")
+    ap.add_argument("--staged-cache", type=int, default=0,
+                    help="reloc-mode: host-staged cache in N layer segments "
+                         "(0 = HBM-resident) — scene size bounded by host "
+                         "RAM, the reference's CPU-offload equivalent")
     ap.add_argument("--num-scenes", type=int, default=3)
     ap.add_argument("--pretrained", default="")
     ap.add_argument("--orbax-checkpoint", default="",
@@ -223,6 +239,7 @@ def main():
         preds = reconstruct_scene(
             params, cfg, scene["images"], args.mode, args.rank,
             jax.random.fold_in(key, si), chunk=args.chunk,
+            staged_segments=args.staged_cache,
         )
         dt = time.perf_counter() - t0
         S = scene["images"].shape[0]

@@ -10,8 +10,12 @@ import pytest
 from self_supervise_sfm_tpu.data.synthetic import make_synthetic_dataset
 
 
-@pytest.mark.parametrize("mode", ["forward", "reloc"])
-def test_reconstruct_demo(tmp_path, monkeypatch, mode):
+@pytest.mark.parametrize("mode,extra", [
+    ("forward", []),
+    ("reloc", []),
+    ("reloc", ["--staged-cache", "2"]),  # host-staged cache serving path
+])
+def test_reconstruct_demo(tmp_path, monkeypatch, mode, extra):
     from self_supervise_sfm_tpu.demos import reconstruct as D
     from self_supervise_sfm_tpu.models import sailrecon as M
 
@@ -33,7 +37,7 @@ def test_reconstruct_demo(tmp_path, monkeypatch, mode):
         sys, "argv",
         ["demo", "--data-root", root, "--out-dir", out, "--mode", mode,
          "--num-images", "3", "--img-size", "28", "--rank", "2",
-         "--num-scenes", "1", "--compute-dtype", "float32"],
+         "--num-scenes", "1", "--compute-dtype", "float32"] + extra,
     )
     D.main()
     results = json.load(open(os.path.join(out, "results.json")))
