@@ -46,6 +46,14 @@ class BAConfig:
     max_lambda: float = 1e6
     optimize_focal: bool = False
     huber_delta: float = 0.0  # 0 => plain least squares
+    # adaptive stopping (0 disables both => the fixed max_iters x cg_iters
+    # schedule). The native engine's speed comes from its forcing-tolerance
+    # CG + function-tolerance LM stops (cpp/ba: ~10-16 TOTAL CG iterations
+    # where the fixed schedule runs max_iters*cg_iters); under jit the same
+    # early exits are lax.while_loop dynamic trip counts — they save real
+    # wall time, only shapes must stay static.
+    cg_rtol: float = 0.0  # CG stop: sqrt(r'Mr) <= rtol * sqrt(r0'Mr0)
+    lm_ftol: float = 0.0  # LM stop: accepted rel. cost decrease < ftol
 
     @property
     def cam_dim(self) -> int:
@@ -265,8 +273,8 @@ def bundle_adjust(
                 z = z * fmask + x * (1.0 - fmask)
             return z
 
-        def cg_body(i, state):
-            x, rr, p, rz = state
+        def cg_body(state):
+            x, rr, p, rz, i = state
             Ap = S_matvec(p)
             alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
             x = x + alpha * p
@@ -275,13 +283,27 @@ def bundle_adjust(
             rz_new = jnp.sum(rr * z)
             beta = rz_new / jnp.maximum(rz, 1e-20)
             p = z + beta * p
-            return x, rr, p, rz_new
+            return x, rr, p, rz_new, i + 1
 
         x0 = jnp.zeros_like(rhs)
         r0 = rhs
         z0 = precond(r0)
-        state = (x0, r0, z0, jnp.sum(r0 * z0))
-        x, *_ = jax.lax.fori_loop(0, cfg.cg_iters, cg_body, state)
+        rz0 = jnp.sum(r0 * z0)
+        state = (x0, r0, z0, rz0, jnp.asarray(0, jnp.int32))
+        if cfg.cg_rtol > 0:
+            # forcing tolerance: stop once the preconditioned residual norm
+            # drops by cg_rtol (dynamic trip count — saves real device time
+            # under jit, unlike unrolled/fori schedules)
+            tol2 = (cfg.cg_rtol**2) * rz0
+
+            def cg_cond(state):
+                return (state[4] < cfg.cg_iters) & (state[3] > tol2)
+
+            x, *_ = jax.lax.while_loop(cg_cond, cg_body, state)
+        else:
+            x, *_ = jax.lax.while_loop(
+                lambda s: s[4] < cfg.cg_iters, cg_body, state
+            )
         dc = x  # (C, cd)
 
         # back-substitute points: dp = V^-1 (-bp - W^T dc)
@@ -297,7 +319,7 @@ def bundle_adjust(
         return cam_new, points + dp
 
     def lm_body(state):
-        cam_params, points, lam, it, cost, _ = state
+        cam_params, points, lam, it, cost, done = state
         cost0, (U, V, bc, bp, W, Jc, Jp) = cost_and_system(cam_params, points)
         dc, dp = solve_schur(
             U, V, bc, bp, W, lam, problem.cam_idx, problem.pt_idx
@@ -311,16 +333,22 @@ def bundle_adjust(
             jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
             cfg.min_lambda, cfg.max_lambda,
         )
-        return cam_params, points, lam, it + 1, jnp.minimum(cost0, cost_new), accept
+        if cfg.lm_ftol > 0:
+            # function tolerance: an ACCEPTED step that no longer moves the
+            # cost means LM has converged (the native engine's stop)
+            rel = (cost0 - cost_new) / jnp.maximum(cost0, 1e-30)
+            done = accept & (rel < cfg.lm_ftol)
+        return (cam_params, points, lam, it + 1,
+                jnp.minimum(cost0, cost_new), done)
 
     def cond(state):
-        return state[3] < cfg.max_iters
+        return (state[3] < cfg.max_iters) & jnp.logical_not(state[5])
 
     init_cost, _ = cost_and_system(problem.cam_params, problem.points)
     state = (
         problem.cam_params, problem.points,
         jnp.asarray(cfg.init_lambda, jnp.float32), jnp.asarray(0),
-        init_cost, jnp.asarray(True),
+        init_cost, jnp.asarray(False),
     )
     cam_params, points, lam, iters, cost, _ = jax.lax.while_loop(
         cond, lm_body, state

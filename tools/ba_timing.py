@@ -78,14 +78,17 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)
 
-    # measured tunnel dispatch RTT: trivial jit, warm
+    # measured tunnel dispatch RTT: trivial jit, warm. Sync via a SCALAR
+    # FETCH — through the remote-TPU tunnel block_until_ready returns before
+    # the work is actually done (CLAUDE.md gotcha), so every timing below
+    # pulls a scalar to the host as its barrier.
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros(())
-    jax.block_until_ready(f(x))
+    float(f(x))
     rtts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
+        float(f(x))
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
     print(f"dispatch RTT: {rtt*1e3:.1f} ms", flush=True)
@@ -105,24 +108,36 @@ def main():
         prob = BA.make_problem(
             jnp.asarray(e0), jnp.asarray(Ks), jnp.asarray(p0),
             jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv))
-        cfg = BA.BAConfig(max_iters=args.max_iters, cg_iters=args.cg_iters)
-        mask = BA.gauge_mask(prob, cfg)
-        t0 = time.perf_counter()
-        ref, info = BA.bundle_adjust(prob, cfg, mask)
-        jax.block_until_ready(ref.cam_params)
-        first = time.perf_counter() - t0
-        warms = []
-        for _ in range(args.repeats):
+
+        def time_solver(cfg):
+            mask = BA.gauge_mask(prob, cfg)
             t0 = time.perf_counter()
             ref, info = BA.bundle_adjust(prob, cfg, mask)
-            jax.block_until_ready(ref.cam_params)
-            warms.append(time.perf_counter() - t0)
-        warm = min(warms)
+            float(info["final_cost"])  # scalar-fetch barrier (see RTT note)
+            first = time.perf_counter() - t0
+            warms = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                ref, info = BA.bundle_adjust(prob, cfg, mask)
+                float(info["final_cost"])
+                warms.append(time.perf_counter() - t0)
+            return ref, first, min(warms)
+
+        cfg = BA.BAConfig(max_iters=args.max_iters, cg_iters=args.cg_iters)
+        ref, first, warm = time_solver(cfg)
         row["jax_first_call_seconds"] = round(first, 3)
         row["jax_compile_seconds"] = round(first - warm, 3)
         row["jax_warm_solve_seconds"] = round(warm, 4)
         row["jax_warm_minus_rtt_seconds"] = round(max(warm - rtt, 0.0), 4)
         row["jax_rmse_px"] = round(float(BA.reprojection_rmse(ref)), 4)
+        # adaptive stops (the native engine's configuration): forcing-
+        # tolerance CG + function-tolerance LM
+        cfg_a = BA.BAConfig(max_iters=args.max_iters, cg_iters=args.cg_iters,
+                            cg_rtol=0.1, lm_ftol=1e-6)
+        ref_a, _, warm_a = time_solver(cfg_a)
+        row["jax_adaptive_warm_seconds"] = round(warm_a, 4)
+        row["jax_adaptive_rmse_px"] = round(
+            float(BA.reprojection_rmse(ref_a)), 4)
         from ba_benchmark import rmse_of
 
         row["native_rmse_px"] = round(rmse_of(en, Ks, pn, ci, pi, uv), 4)
@@ -131,6 +146,7 @@ def main():
         row["analytic_gflop_lower_bound"] = round(fl / 1e9, 3)
         row["achieved_gflops"] = round(fl / 1e9 / max(warm - rtt, 1e-9), 2)
         row["warm_vs_native_ratio"] = round(warm / tn, 2)
+        row["adaptive_vs_native_ratio"] = round(warm_a / tn, 2)
         # the JAX schedule always runs max_iters LM steps; the native engine
         # stops early — normalize per LM iteration for the solver-work ratio
         row["per_lm_iter_ratio"] = round(
@@ -152,6 +168,25 @@ def main():
             "the warm solve is the jax_warm_solve_seconds column (the whole "
             "LM schedule is a single jit -> exactly one ~"
             f"{round(rtt*1e3)} ms tunnel dispatch per solve)"
+        ),
+        "remaining_gap_account": (
+            "warm solve sits ~5-7x native at 40-500 cams. Accounting: (a) "
+            "schedule — the jit solver runs up to max_iters x cg_iters "
+            "PCG steps with block-Jacobi, the native engine's block-IC(0) "
+            "+ forcing tolerance needs 10-16 TOTAL CG iterations "
+            "(BA_BENCH sweep); the new adaptive stops (cg_rtol/lm_ftol, "
+            "jax_adaptive_* columns) recover only ~10%, showing Jacobi "
+            "needs most of its 40 iterations to hit rtol 0.1 where IC(0) "
+            "needs ~1; (b) per-iteration cost — each S-matvec is two "
+            "~20k-element segment-sum scatters and tiny einsums, "
+            "latency-bound VPU work (~6 GFLOP/s achieved vs the chip's "
+            "~120 TFLOP/s matmul ceiling): problems this small are "
+            "host-cache-friendly sparse algebra, exactly where a CPU "
+            "solver wins. The jit solver's value is in-graph "
+            "composability (differentiable refinement inside jitted "
+            "pipelines) and device-resident large scenes; the native "
+            "engine remains the default for host-side COLMAP-scale BA "
+            "(demos --ba-engine native)."
         ),
     }
     with open(path, "w") as f:
