@@ -67,8 +67,9 @@ SCALES = {
     # the same CDF saturation cliff the 154px run died on, CLAUDE.md r4).
     "medium": dict(
         img=112, raw=(160, 120), embed=512, depth=8, vit_depth=8, heads=8,
-        taps=(1, 3, 5, 7), rank=16, pretrain_steps=5000, finetune_steps=1200,
-        pretrain_lr=4e-4, finetune_lr=1e-4, max_val=25.0, clip=1.0,
+        taps=(1, 3, 5, 7), rank=16, pretrain_steps=30000,
+        finetune_steps=1500, pretrain_lr=4e-4, finetune_lr=1e-4,
+        max_val=25.0, clip=1.0,
     ),
 }
 
