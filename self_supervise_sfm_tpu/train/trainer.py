@@ -4,7 +4,11 @@ Differences from the reference by design:
 - one process drives the whole (data, context) mesh via pjit — no mp.spawn /
   NCCL rendezvous / DDP wrapper (``train_imc.py:34-58,472,571-576``);
 - background host threads prefetch + decode HDF5 scenes and keep a device
-  queue full (the DataLoader-worker equivalent, ``train_imc.py:496-504``);
+  queue full (the DataLoader-worker equivalent, ``train_imc.py:496-504``).
+  Measured (``DATA_BENCH_r05.json``): the C++ dataplane sustains ~30
+  scenes/s at 518px/10k-samples on a 2-core host vs the 2.83 steps/s TPU
+  train step — >10x headroom, the chip never starves (even the pure-python
+  fallback at ~11 scenes/s keeps it fed);
 - the full epoch actually runs (the reference breaks after one batch,
   ``train_imc.py:428``);
 - checkpoints carry the full train state and resume deterministically;
