@@ -71,6 +71,21 @@ SCALES = {
         finetune_steps=1500, pretrain_lr=4e-4, finetune_lr=1e-4,
         max_val=25.0, clip=1.0,
     ),
+    # resolution-isolation probes: the SAME ~120M model at smaller image
+    # sizes — if 84/56px converge where 112px does not, the from-random
+    # basin is resolution-driven, not parameter-count-driven
+    "medium84": dict(
+        img=84, raw=(120, 90), embed=512, depth=8, vit_depth=8, heads=8,
+        taps=(1, 3, 5, 7), rank=16, pretrain_steps=15000,
+        finetune_steps=1500, pretrain_lr=4e-4, finetune_lr=1e-4,
+        max_val=25.0, clip=1.0,
+    ),
+    "medium56": dict(
+        img=56, raw=(80, 60), embed=512, depth=8, vit_depth=8, heads=8,
+        taps=(1, 3, 5, 7), rank=8, pretrain_steps=15000,
+        finetune_steps=1500, pretrain_lr=4e-4, finetune_lr=1e-4,
+        max_val=25.0, clip=1.0,
+    ),
 }
 
 N_TRAIN_SCENES = 6
