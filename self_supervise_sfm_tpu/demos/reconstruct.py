@@ -75,7 +75,8 @@ def load_params(cfg, pretrained: str, key, orbax_checkpoint: str = ""):
 
 
 def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key,
-                      chunk: int = 0, staged_segments: int = 0):
+                      chunk: int = 0, staged_segments: int = 0,
+                      build_chunk: int = 0):
     """images_np: (S, H, W, 3). Returns host predictions dict for S views.
 
     ``chunk`` > 0 relocalises in fixed-size query chunks (``reloc_chunked``,
@@ -84,6 +85,9 @@ def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key,
     the kv2 cache to host RAM one layer-segment at a time; reloc re-uploads
     per segment) — scene size bounded by host RAM, the reference's
     CPU-offload equivalent (``sailrecon/layers/attention.py:92-97``).
+    ``build_chunk`` > 0 additionally chunks the build's anchor axis so
+    per-layer transients scale with the chunk, not the scene
+    (``aggregator._build_layer_chunked``; must divide the frame count).
     """
     images = jnp.asarray(images_np)[None]  # (1, S, H, W, 3)
     S = images.shape[1]
@@ -91,6 +95,7 @@ def reconstruct_scene(params, cfg, images_np, mode: str, rank: int, key,
         cache, cam_tok = M.build_scene_cache_staged(
             params, cfg, images, rank=rank, subsample_key=key,
             num_segments=staged_segments,
+            anchor_chunk=build_chunk if build_chunk > 0 else None,
         )
         preds = M.reloc_staged(params, cfg, cache, cam_tok, images,
                                num_segments=staged_segments)
@@ -190,6 +195,10 @@ def main():
                     help="reloc-mode: host-staged cache in N layer segments "
                          "(0 = HBM-resident) — scene size bounded by host "
                          "RAM, the reference's CPU-offload equivalent")
+    ap.add_argument("--build-chunk", type=int, default=0,
+                    help="with --staged-cache: anchor-chunked build (chunk "
+                         "size, must divide the frame count) — per-layer "
+                         "transients scale with the chunk, not the scene")
     ap.add_argument("--num-scenes", type=int, default=3)
     ap.add_argument("--pretrained", default="")
     ap.add_argument("--orbax-checkpoint", default="",
@@ -240,6 +249,7 @@ def main():
             params, cfg, scene["images"], args.mode, args.rank,
             jax.random.fold_in(key, si), chunk=args.chunk,
             staged_segments=args.staged_cache,
+            build_chunk=args.build_chunk,
         )
         dt = time.perf_counter() - t0
         S = scene["images"].shape[0]

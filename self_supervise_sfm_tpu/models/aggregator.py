@@ -173,7 +173,7 @@ def _normalize_images(images: jax.Array) -> jax.Array:
 
 def _embed_frames(
     p, cfg: AggregatorConfig, images: jax.Array, is_query: jax.Array,
-    duplicated: bool = False,
+    duplicated: bool = False, frame_chunk: Optional[int] = None,
 ):
     """images (B, S, H, W, 3) -> tokens (B, S, P, C), P = patches + specials.
 
@@ -196,10 +196,40 @@ def _embed_frames(
         assert S % 2 == 0
         images = images[:, : S // 2]
     Su = images.shape[1]
-    x = _normalize_images(images).reshape(B * Su, H, W, 3)
-    vit_out = vit_forward(p["vit"], x, cfg.vit, compute_dtype=cfg.dtype)
-    patch_tokens = vit_out["x_norm_patchtokens"]  # (B*Su, P0, C)
-    P0 = patch_tokens.shape[1]
+    if (frame_chunk is not None and 0 < frame_chunk < Su
+            and Su % frame_chunk == 0):
+        # frame-chunked ViT: the patch embedding is per-frame independent, so
+        # its (large) per-layer transients only need to be live for one chunk
+        # of frames at a time — the capacity companion of the anchor-chunked
+        # build layers (``_build_layer_chunked``). Normalisation happens
+        # inside the loop too (a full normalised copy would double the
+        # image-sized resident set).
+        G = frame_chunk
+
+        def vit_chunk(imc):
+            xc = _normalize_images(imc).reshape(B * G, H, W, 3)
+            out = vit_forward(p["vit"], xc, cfg.vit, compute_dtype=cfg.dtype)
+            return out["x_norm_patchtokens"]  # (B*G, P0, C)
+
+        pt_sd = jax.eval_shape(
+            vit_chunk, jax.ShapeDtypeStruct((B, G, H, W, 3), images.dtype)
+        )
+        P0 = pt_sd.shape[1]
+
+        def body(s, buf):
+            imc = jax.lax.dynamic_slice_in_dim(images, s * G, G, axis=1)
+            pt = vit_chunk(imc).reshape(B, G, P0, -1)
+            return jax.lax.dynamic_update_slice_in_dim(buf, pt, s * G, axis=1)
+
+        patch_tokens = jax.lax.fori_loop(
+            0, Su // G, body,
+            jnp.zeros((B, Su, P0, pt_sd.shape[-1]), pt_sd.dtype),
+        ).reshape(B * Su, P0, -1)
+    else:
+        x = _normalize_images(images).reshape(B * Su, H, W, 3)
+        vit_out = vit_forward(p["vit"], x, cfg.vit, compute_dtype=cfg.dtype)
+        patch_tokens = vit_out["x_norm_patchtokens"]  # (B*Su, P0, C)
+        P0 = patch_tokens.shape[1]
     if duplicated:
         patch_tokens = jnp.concatenate(
             [patch_tokens.reshape(B, Su, P0, -1)] * 2, axis=1
@@ -465,21 +495,151 @@ def aggregator_forward(
 # ---------------------------------------------------------------------------
 
 
+def _build_layer_chunked(cfg: AggregatorConfig, fp, gp, rp, tokens, idx_l,
+                         B: int, A: int, Ptok: int, R5: int, t_frame,
+                         anchor_chunk: int):
+    """One build layer with the anchor axis processed in chunks of
+    ``anchor_chunk`` frames: transients scale with the CHUNK, resident state
+    with the scene.
+
+    The one-shot build layer's HBM peak is dominated by per-layer transients
+    over ALL anchor frames at once (fused-QKV q/k/v, the 4C MLP hidden —
+    measured 0.041 GB/anchor of the staged build's 0.0442 slope,
+    SCENE_STAGED_r05.json). Only the *global-attention K/V* genuinely needs
+    every anchor token; everything else is per-frame (frame block, reloc-KV
+    downsample) or per-token (global QKV projection, out-proj + MLP). So:
+
+    - pass 1 (fori_loop over anchor chunks): frame block -> ``frame_out``
+      buffer; reloc-cache KV -> ``kv2`` buffer; global-block fused QKV ->
+      full q/k/v buffers.
+    - pass 2 (fori_loop over chunks): flash attention of each q chunk
+      against the FULL k/v (identical per-row math to the unchunked call —
+      the kv-tile reduction order does not depend on how the q axis is
+      partitioned), then fused out-proj + layer-scale + residual + MLP per
+      chunk -> ``global_out`` buffer.
+
+    Resident state is 5 token-sized buffers (tokens-in, frame_out, q, k, v /
+    global_out) ≈ 0.014 GB/anchor instead of the all-at-once transients.
+    Single-chip capacity knob (the chunk loop crosses the context-sharding
+    axis, so it deliberately skips the ``constrain`` annotations of the
+    unchunked path); requires the "kv2" cache layout.
+    """
+    C = cfg.embed_dim
+    Hh = cfg.num_heads
+    hd = cfg.head_dim
+    bcfg = cfg.block_cfg
+    bcfg_g = cfg.global_block_cfg
+    G = anchor_chunk
+    nck = A // G
+    dt = tokens.dtype
+
+    from ..layers.attention import attention_heads_out
+    from ..layers.block import attn_out_mlp, qkv_parts
+    from ..parallel.sp_block import frame_block_sharded
+
+    t_global_G = _tile_tables(t_frame, G)
+
+    # exact output dtypes of the chunk computations (qk-norm etc. may upcast)
+    q_sd, k_sd, v_sd = jax.eval_shape(
+        lambda g_: qkv_parts(gp, g_, bcfg_g, t_global_G),
+        jax.ShapeDtypeStruct((B, G * Ptok, C), dt),
+    )
+    kv_sd = jax.eval_shape(
+        lambda d_, c_, s_: jnp.concatenate(
+            block_context_kv(rp, d_, bcfg, (c_, s_)), axis=-1
+        ),
+        jax.ShapeDtypeStruct((B, G * R5, C), dt),
+        jax.ShapeDtypeStruct((B, G * R5, t_frame[0].shape[-1]),
+                             t_frame[0].dtype),
+        jax.ShapeDtypeStruct((B, G * R5, t_frame[1].shape[-1]),
+                             t_frame[1].dtype),
+    )
+
+    fo_buf = jnp.zeros((B, A, Ptok, C), dt)
+    q_buf = jnp.zeros((B, Hh, A * Ptok, hd), q_sd.dtype)
+    k_buf = jnp.zeros((B, Hh, A * Ptok, hd), k_sd.dtype)
+    v_buf = jnp.zeros((B, Hh, A * Ptok, hd), v_sd.dtype)
+    kv_buf = jnp.zeros((B, Hh, A * R5, 2 * hd), kv_sd.dtype)
+
+    def p1(s, bufs):
+        fo_buf, q_buf, k_buf, v_buf, kv_buf = bufs
+        a0 = s * G
+        tc = jax.lax.dynamic_slice_in_dim(tokens, a0, G, axis=1)
+        t = frame_block_sharded(
+            fp, tc.reshape(B * G, Ptok, C), bcfg, t_frame
+        )
+        fo = t.reshape(B, G, Ptok, C)
+        idx_c = jax.lax.dynamic_slice_in_dim(idx_l, a0, G, axis=1)
+        down = jnp.take_along_axis(
+            fo, idx_c[..., None], axis=2
+        ).reshape(B, G * R5, C)
+        down_cos = t_frame[0][idx_c].reshape(B, G * R5, -1)
+        down_sin = t_frame[1][idx_c].reshape(B, G * R5, -1)
+        kv2 = jnp.concatenate(
+            block_context_kv(rp, down, bcfg, (down_cos, down_sin)), axis=-1
+        )
+        qc, kc, vc = qkv_parts(
+            gp, fo.reshape(B, G * Ptok, C), bcfg_g, t_global_G
+        )
+        return (
+            jax.lax.dynamic_update_slice_in_dim(fo_buf, fo, a0, axis=1),
+            jax.lax.dynamic_update_slice_in_dim(q_buf, qc, a0 * Ptok, axis=2),
+            jax.lax.dynamic_update_slice_in_dim(k_buf, kc, a0 * Ptok, axis=2),
+            jax.lax.dynamic_update_slice_in_dim(v_buf, vc, a0 * Ptok, axis=2),
+            jax.lax.dynamic_update_slice_in_dim(kv_buf, kv2, a0 * R5, axis=2),
+        )
+
+    fo_buf, q_buf, k_buf, v_buf, kv_buf = jax.lax.fori_loop(
+        0, nck, p1, (fo_buf, q_buf, k_buf, v_buf, kv_buf)
+    )
+
+    def p2(s, go_buf):
+        a0 = s * G
+        qc = jax.lax.dynamic_slice_in_dim(q_buf, a0 * Ptok, G * Ptok, axis=2)
+        o = attention_heads_out(gp["attn"], qc, k_buf, v_buf, bcfg_g.attn)
+        xc = jax.lax.dynamic_slice_in_dim(
+            fo_buf, a0, G, axis=1
+        ).reshape(B, G * Ptok, C)
+        out = attn_out_mlp(gp, o, xc, bcfg_g)
+        return jax.lax.dynamic_update_slice_in_dim(
+            go_buf, out.reshape(B, G, Ptok, C).astype(dt), a0, axis=1
+        )
+
+    go_buf = jax.lax.fori_loop(0, nck, p2, jnp.zeros((B, A, Ptok, C), dt))
+    return go_buf, fo_buf, go_buf, (kv_buf,)
+
+
 def _build_cache_scan(cfg: AggregatorConfig, stacks, tokens, idx,
-                      B: int, A: int, Ptok: int, R5: int, t_frame, t_global):
+                      B: int, A: int, Ptok: int, R5: int, t_frame, t_global,
+                      anchor_chunk: Optional[int] = None):
     """Scan ``len(idx)`` build layers: (tokens', (kvs, frame_cam, global_cam)).
 
     Shared by the one-shot build (full depth) and the host-staged build
     (a contiguous layer segment at a time); ``stacks`` are the per-layer
     (frame, global, reloc) block params with leading dim == idx.shape[0].
+    With ``anchor_chunk`` set (and dividing A, "kv2" layout), each layer runs
+    the anchor-chunked two-pass variant (:func:`_build_layer_chunked`) whose
+    peak scales with the chunk size instead of the scene size.
     """
     C = cfg.embed_dim
     bcfg = cfg.block_cfg
     bcfg_g = cfg.global_block_cfg
 
+    chunked = (
+        anchor_chunk is not None
+        and 0 < anchor_chunk < A
+        and A % anchor_chunk == 0
+        and cfg.cache_layout == "kv2"
+    )
+
     from ..parallel.sp_block import frame_block_sharded, global_block_ring
 
     def layer(tokens, fp, gp, rp, idx_l):
+        if chunked:
+            return _build_layer_chunked(
+                cfg, fp, gp, rp, tokens, idx_l, B, A, Ptok, R5, t_frame,
+                anchor_chunk,
+            )
         t = tokens.reshape(B * A, Ptok, C)
         t = constrain(t, (DATA_AXIS, CONTEXT_AXIS), None, None)
         t = frame_block_sharded(fp, t, bcfg, t_frame)
@@ -530,9 +690,19 @@ def aggregator_build_cache(
     rank: int,
     subsample_key: Optional[jax.Array] = None,
     subsample_indices: Optional[jax.Array] = None,
+    anchor_chunk: Optional[int] = None,
+    chunk_embed: bool = True,
 ):
     """Phase 1: run anchors, record per-layer reloc-block K/V of the
     compressed scene tokens.
+
+    ``anchor_chunk``: process the build in chunks of this many anchor frames
+    (see :func:`_build_layer_chunked`) — bit-equal to the unchunked build.
+    ``chunk_embed``: also chunk the ViT patch embedding (the embed program's
+    peak otherwise scales with the scene). The chunked ViT is a DIFFERENT
+    XLA program (batch G vs batch A), so bf16 reduction-order deviations of
+    the PARITY_BF16 class appear relative to the unchunked embed; set False
+    for bit-equality at the cost of the embed peak.
 
     Equivalent to ``SailRecon.tmp_forward`` (``models/sail_recon.py:176-199``)
     + the cache-fill branch of ``Attention.forward`` — but pure: returns a
@@ -549,7 +719,10 @@ def aggregator_build_cache(
     B, A, H, W, _ = anchor_images.shape
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
     is_query = jnp.asarray([False] * A)
-    tokens, P0 = _embed_frames(p, cfg, anchor_images, is_query)
+    tokens, P0 = _embed_frames(
+        p, cfg, anchor_images, is_query,
+        frame_chunk=anchor_chunk if chunk_embed else None,
+    )
     Ptok = P0 + cfg.patch_start_idx
     rank = min(rank, P0)
     R5 = rank + cfg.patch_start_idx
@@ -560,7 +733,8 @@ def aggregator_build_cache(
 
     stacks = (p["frame_blocks"], p["global_blocks"], p["reloc_blocks"])
     tokens, (kvs, frame_cam, global_cam) = _build_cache_scan(
-        cfg, stacks, tokens, idx, B, A, Ptok, R5, t_frame, t_global
+        cfg, stacks, tokens, idx, B, A, Ptok, R5, t_frame, t_global,
+        anchor_chunk=anchor_chunk,
     )
 
     if cfg.cache_layout == "kv2":
@@ -737,14 +911,17 @@ def _reloc_layer_kv2(cfg: AggregatorConfig, fp, rp, tokens, ckv, layer_idx,
 
 
 @_lru_cache(maxsize=8)
-def _staged_build_programs_cached(cfg, B, A, H, W, rank, num_segments):
+def _staged_build_programs_cached(cfg, B, A, H, W, rank, num_segments,
+                                  anchor_chunk, chunk_embed):
     return _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
-                                       None)
+                                       None, anchor_chunk, chunk_embed)
 
 
 def staged_build_programs(cfg: AggregatorConfig, B: int, A: int, H: int,
                           W: int, rank: int, num_segments: int,
-                          subsample_indices=None):
+                          subsample_indices=None,
+                          anchor_chunk: Optional[int] = None,
+                          chunk_embed: bool = True):
     """(embed_jit, run_segment_jit, seg_len) — the two programs of the
     host-staged build, exposed for AOT memory analysis
     (``tools/scene_staged_capacity.py``). Cached per geometry so repeated
@@ -753,13 +930,16 @@ def staged_build_programs(cfg: AggregatorConfig, B: int, A: int, H: int,
     are not hashable)."""
     if subsample_indices is None:
         return _staged_build_programs_cached(cfg, B, A, H, W, rank,
-                                             num_segments)
+                                             num_segments, anchor_chunk,
+                                             chunk_embed)
     return _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
-                                       subsample_indices)
+                                       subsample_indices, anchor_chunk,
+                                       chunk_embed)
 
 
 def _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
-                                subsample_indices):
+                                subsample_indices, anchor_chunk=None,
+                                chunk_embed=True):
     from functools import partial
 
     assert cfg.cache_layout == "kv2", "staged build requires the kv2 layout"
@@ -774,7 +954,10 @@ def _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
     @jax.jit
     def embed(p, images, key):
         is_query = jnp.asarray([False] * A)
-        tokens, P0_ = _embed_frames(p, cfg, images, is_query)
+        tokens, P0_ = _embed_frames(
+            p, cfg, images, is_query,
+            frame_chunk=anchor_chunk if chunk_embed else None,
+        )
         idx = _make_indices(cfg, key, subsample_indices, B, A, P0_, rank)
         return tokens, idx
 
@@ -788,7 +971,8 @@ def _staged_build_programs_impl(cfg, B, A, H, W, rank, num_segments,
         t_frame = _rope_tables_frame(cfg, gh, gw)
         t_global = _tile_tables(t_frame, A)
         tokens, (kvs, frame_cam, global_cam) = _build_cache_scan(
-            cfg, stacks, tokens, idx_seg, B, A, Ptok, R5, t_frame, t_global
+            cfg, stacks, tokens, idx_seg, B, A, Ptok, R5, t_frame, t_global,
+            anchor_chunk=anchor_chunk,
         )
         return tokens, kvs[0], frame_cam[-1], global_cam[-1]
 
@@ -803,6 +987,8 @@ def aggregator_build_cache_staged(
     subsample_key: Optional[jax.Array] = None,
     subsample_indices: Optional[jax.Array] = None,
     num_segments: int = 4,
+    anchor_chunk: Optional[int] = None,
+    chunk_embed: bool = True,
 ):
     """Host-staged phase 1: the cache streams to HOST RAM as it is built.
 
@@ -827,7 +1013,8 @@ def aggregator_build_cache_staged(
     seg_len = cfg.depth // num_segments
     embed, run_segment, _ = staged_build_programs(
         cfg, B, A, H, W, rank, num_segments,
-        subsample_indices=subsample_indices,
+        subsample_indices=subsample_indices, anchor_chunk=anchor_chunk,
+        chunk_embed=chunk_embed,
     )
     tokens, idx = embed(p, anchor_images, subsample_key)
     host_kv = []

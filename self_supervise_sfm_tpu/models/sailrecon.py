@@ -293,11 +293,20 @@ def build_scene_cache(
     rank: int = 300,
     subsample_key: Optional[jax.Array] = None,
     subsample_indices: Optional[jax.Array] = None,
+    anchor_chunk: Optional[int] = None,
+    chunk_embed: bool = True,
 ):
-    """Phase 1 of two-phase inference: returns (cache, cam_token_last_layer)."""
+    """Phase 1 of two-phase inference: returns (cache, cam_token_last_layer).
+
+    ``anchor_chunk``: optional anchor-chunked build (must divide the anchor
+    count) — per-layer transients scale with the chunk instead of the scene;
+    see ``aggregator._build_layer_chunked``. ``chunk_embed=False`` keeps the
+    ViT patch embedding unchunked (bit-equal to the plain build; the chunked
+    ViT is a different XLA program with bf16-scheduling-class deviations).
+    """
     return aggregator_build_cache(
         p["aggregator"], cfg.aggregator, anchor_images, rank, subsample_key,
-        subsample_indices,
+        subsample_indices, anchor_chunk=anchor_chunk, chunk_embed=chunk_embed,
     )
 
 
@@ -351,6 +360,8 @@ def build_scene_cache_staged(
     subsample_key: Optional[jax.Array] = None,
     subsample_indices: Optional[jax.Array] = None,
     num_segments: int = 4,
+    anchor_chunk: Optional[int] = None,
+    chunk_embed: bool = True,
 ):
     """Host-staged phase 1: scene size bounded by HOST RAM, not HBM.
 
@@ -363,7 +374,8 @@ def build_scene_cache_staged(
     """
     return aggregator_build_cache_staged(
         p["aggregator"], cfg.aggregator, anchor_images, rank, subsample_key,
-        subsample_indices, num_segments,
+        subsample_indices, num_segments, anchor_chunk=anchor_chunk,
+        chunk_embed=chunk_embed,
     )
 
 

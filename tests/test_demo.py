@@ -14,6 +14,9 @@ from self_supervise_sfm_tpu.data.synthetic import make_synthetic_dataset
     ("forward", []),
     ("reloc", []),
     ("reloc", ["--staged-cache", "2"]),  # host-staged cache serving path
+    # anchor-chunked staged build (3 frames in chunks of 1): the capacity
+    # configuration for scenes past the one-shot HBM bound
+    ("reloc", ["--staged-cache", "2", "--build-chunk", "1"]),
 ])
 def test_reconstruct_demo(tmp_path, monkeypatch, mode, extra):
     from self_supervise_sfm_tpu.demos import reconstruct as D

@@ -155,3 +155,61 @@ class TestStagedCache:
         np.testing.assert_allclose(
             np.asarray(fast_st["extrinsic"]),
             np.asarray(preds_ref["extrinsic"]), atol=5e-5)
+
+    def test_chunked_build_matches_unchunked(self, rng):
+        """anchor_chunk=G build == one-shot build.
+
+        The chunked layer (``aggregator._build_layer_chunked``) partitions
+        the anchor axis of every per-frame/per-token computation and the q
+        axis of the global attention; per-row math (LN, matmul rows, softmax
+        over the same full kv axis in the same tile order) is unchanged, so
+        results must match to float tolerance — chunking only changes WHEN
+        transients are live, not what is computed.
+        """
+        import numpy as np
+
+        from self_supervise_sfm_tpu.models import sailrecon as M
+
+        cfg = M.make_config(
+            img_size=28, embed_dim=64, depth=4, num_heads=4, vit_depth=2,
+            intermediate_layer_idx=(0, 1, 2, 3),
+        )
+        p = M.init_sailrecon(jax.random.PRNGKey(0), cfg)
+        anchors = jnp.asarray(
+            rng.uniform(size=(1, 6, 28, 28, 3)).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+
+        cache_ref, cam_ref = jax.jit(
+            lambda p, x: M.build_scene_cache(p, cfg, x, rank=2,
+                                             subsample_key=key)
+        )(p, anchors)
+
+        # one-shot build, chunked layers (6 anchors in chunks of 2)
+        cache_ch, cam_ch = jax.jit(
+            lambda p, x: M.build_scene_cache(p, cfg, x, rank=2,
+                                             subsample_key=key,
+                                             anchor_chunk=2)
+        )(p, anchors)
+        np.testing.assert_allclose(
+            np.asarray(cache_ch["kv"]), np.asarray(cache_ref["kv"]),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(cam_ch), np.asarray(cam_ref), atol=1e-5)
+
+        # host-staged + chunked combined (the capacity configuration)
+        cache_st, cam_st = M.build_scene_cache_staged(
+            p, cfg, anchors, rank=2, subsample_key=key, num_segments=2,
+            anchor_chunk=3)
+        np.testing.assert_allclose(
+            cache_st["kv"], np.asarray(cache_ref["kv"]), atol=1e-5)
+        np.testing.assert_allclose(cam_st, np.asarray(cam_ref), atol=1e-5)
+
+        # a non-dividing / degenerate chunk silently falls back to unchunked
+        cache_nd, _ = jax.jit(
+            lambda p, x: M.build_scene_cache(p, cfg, x, rank=2,
+                                             subsample_key=key,
+                                             anchor_chunk=4)
+        )(p, anchors)
+        np.testing.assert_allclose(
+            np.asarray(cache_nd["kv"]), np.asarray(cache_ref["kv"]),
+            atol=1e-5)
