@@ -511,18 +511,22 @@ def _build_layer_chunked(cfg: AggregatorConfig, fp, gp, rp, tokens, idx_l,
 
     - pass 1 (fori_loop over anchor chunks): frame block -> ``frame_out``
       buffer; reloc-cache KV -> ``kv2`` buffer; global-block fused QKV ->
-      full q/k/v buffers.
-    - pass 2 (fori_loop over chunks): flash attention of each q chunk
-      against the FULL k/v (identical per-row math to the unchunked call —
-      the kv-tile reduction order does not depend on how the q axis is
-      partitioned), then fused out-proj + layer-scale + residual + MLP per
-      chunk -> ``global_out`` buffer.
+      full k/v buffers (q is NOT stored: pass 2 recomputes it per chunk by
+      re-running the same fused QKV kernel on the same input — bit-identical
+      q at the cost of re-projecting k/v that get discarded; the build is
+      capacity-bound, not FLOP-bound, so one resident buffer beats one
+      matmul).
+    - pass 2 (fori_loop over chunks): recompute the q chunk, flash
+      attention against the FULL k/v (identical per-row math to the
+      unchunked call — the kv-tile reduction order does not depend on how
+      the q axis is partitioned), then fused out-proj + layer-scale +
+      residual + MLP per chunk -> ``global_out`` buffer.
 
-    Resident state is 5 token-sized buffers (tokens-in, frame_out, q, k, v /
-    global_out) ≈ 0.014 GB/anchor instead of the all-at-once transients.
-    Single-chip capacity knob (the chunk loop crosses the context-sharding
-    axis, so it deliberately skips the ``constrain`` annotations of the
-    unchunked path); requires the "kv2" cache layout.
+    Resident state is 4 token-sized buffers (tokens-in, frame_out, k, v /
+    global_out) instead of the all-at-once transients. Single-chip capacity
+    knob (the chunk loop crosses the context-sharding axis, so it
+    deliberately skips the ``constrain`` annotations of the unchunked
+    path); requires the "kv2" cache layout.
     """
     C = cfg.embed_dim
     Hh = cfg.num_heads
@@ -556,13 +560,12 @@ def _build_layer_chunked(cfg: AggregatorConfig, fp, gp, rp, tokens, idx_l,
     )
 
     fo_buf = jnp.zeros((B, A, Ptok, C), dt)
-    q_buf = jnp.zeros((B, Hh, A * Ptok, hd), q_sd.dtype)
     k_buf = jnp.zeros((B, Hh, A * Ptok, hd), k_sd.dtype)
     v_buf = jnp.zeros((B, Hh, A * Ptok, hd), v_sd.dtype)
     kv_buf = jnp.zeros((B, Hh, A * R5, 2 * hd), kv_sd.dtype)
 
     def p1(s, bufs):
-        fo_buf, q_buf, k_buf, v_buf, kv_buf = bufs
+        fo_buf, k_buf, v_buf, kv_buf = bufs
         a0 = s * G
         tc = jax.lax.dynamic_slice_in_dim(tokens, a0, G, axis=1)
         t = frame_block_sharded(
@@ -578,28 +581,27 @@ def _build_layer_chunked(cfg: AggregatorConfig, fp, gp, rp, tokens, idx_l,
         kv2 = jnp.concatenate(
             block_context_kv(rp, down, bcfg, (down_cos, down_sin)), axis=-1
         )
-        qc, kc, vc = qkv_parts(
+        _, kc, vc = qkv_parts(
             gp, fo.reshape(B, G * Ptok, C), bcfg_g, t_global_G
         )
         return (
             jax.lax.dynamic_update_slice_in_dim(fo_buf, fo, a0, axis=1),
-            jax.lax.dynamic_update_slice_in_dim(q_buf, qc, a0 * Ptok, axis=2),
             jax.lax.dynamic_update_slice_in_dim(k_buf, kc, a0 * Ptok, axis=2),
             jax.lax.dynamic_update_slice_in_dim(v_buf, vc, a0 * Ptok, axis=2),
             jax.lax.dynamic_update_slice_in_dim(kv_buf, kv2, a0 * R5, axis=2),
         )
 
-    fo_buf, q_buf, k_buf, v_buf, kv_buf = jax.lax.fori_loop(
-        0, nck, p1, (fo_buf, q_buf, k_buf, v_buf, kv_buf)
+    fo_buf, k_buf, v_buf, kv_buf = jax.lax.fori_loop(
+        0, nck, p1, (fo_buf, k_buf, v_buf, kv_buf)
     )
 
     def p2(s, go_buf):
         a0 = s * G
-        qc = jax.lax.dynamic_slice_in_dim(q_buf, a0 * Ptok, G * Ptok, axis=2)
-        o = attention_heads_out(gp["attn"], qc, k_buf, v_buf, bcfg_g.attn)
         xc = jax.lax.dynamic_slice_in_dim(
             fo_buf, a0, G, axis=1
         ).reshape(B, G * Ptok, C)
+        qc, _, _ = qkv_parts(gp, xc, bcfg_g, t_global_G)
+        o = attention_heads_out(gp["attn"], qc, k_buf, v_buf, bcfg_g.attn)
         out = attn_out_mlp(gp, o, xc, bcfg_g)
         return jax.lax.dynamic_update_slice_in_dim(
             go_buf, out.reshape(B, G, Ptok, C).astype(dt), a0, axis=1

@@ -92,6 +92,7 @@ def main():
         for k in ("staged_build", "staged_build_fit", "equality_check",
                   "validate_big_build", "staged_build_chunked",
                   "staged_build_chunked_fit", "validate_big_build_chunked",
+                  "validate_big_serve_chunked",
                   "equality_check_chunked_layers",
                   "equality_check_chunked_full"):
             if k in prev:
@@ -365,6 +366,28 @@ def main():
         }
         log(f"chunked staged build A={A_big} G={G}: OK in {build_s:.0f}s, "
             f"host cache {host_gb:.1f} GB")
+
+        # ... and SERVE it: full-head staged reloc of 4 query frames against
+        # the freshly built scene — the complete serving round-trip at a
+        # scene size no single-chip resident path can hold
+        q_imgs = jnp.asarray(imgs[:, :4])
+        tr = time.time()
+        preds = M.reloc_staged(params, cfg, cache_big, cam_big, q_imgs,
+                               num_segments=SEGMENTS)
+        ex = np.asarray(preds["extrinsic"])
+        serve_s = time.time() - tr
+        results["validate_big_serve_chunked"] = {
+            "anchors_cached": A_big, "queries": 4,
+            "completed": True,
+            "wall_seconds": round(serve_s, 1),
+            "extrinsics_finite": bool(np.isfinite(ex).all()),
+            "depth_finite": bool(np.isfinite(
+                np.asarray(preds["depth_map"])).all()),
+            "note": "first call includes compile + per-segment host->device "
+                    "cache upload through the remote tunnel",
+        }
+        log(f"staged reloc vs {A_big}-anchor host cache: OK in "
+            f"{serve_s:.0f}s, extrinsics finite={np.isfinite(ex).all()}")
 
     results["wall_seconds"] = round(time.time() - t0, 1)
     with open(args.out, "w") as f:
